@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.ref.{Feature, Features, LightCurve}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed evaluation of the composite kernels that need the whole
+ * per-group series (sorted arrays, sequential scans, Otsu, quantiles...):
+ * one `collect_list(struct(t, idx, m, w))` per `(series, bucket)` group,
+ * deterministically ordered by `sort_array` (lexicographic on
+ * `(t, idx, m, w)` — the stable `(conv_id, turn_idx)` order the
+ * correctness gate requires), then every requested kernel evaluated in
+ * one pass over the collected arrays by the SAME single-node code as the
+ * reference port ([[graft.ref.Features]]) — so the distributed result
+ * bit-matches the single-node rollup by construction, sidestepping
+ * float-merge-order nondeterminism (SURVEY.md §7 "what's hard" #1).
+ *
+ * Output is one flat `array<double>` per group — the reference
+ * extractor's concatenation contract (/root/reference/src/extractor.rs:
+ * 111-121); failing kernels contribute `fill` per their whole output
+ * slice (eval_or_fill, evaluator.rs:144-149).
+ *
+ * Scale notes (100 TB): the collect is a single shuffle on the group
+ * key with map-side partial list building; per-group memory is bounded
+ * because the engine only ever collects raw turns at the finest tier
+ * (minute buckets) and computes coarser tiers over the finer tier's
+ * binned points (<= 60 / <= 24 rows per group, see
+ * [[graft.engine.Rollup]]). Spark falls back to sort-based aggregation
+ * when ObjectHashAggregate spills, so skewed groups degrade, not OOM.
+ */
+object SeriesFeatures {
+
+  /** Sorted per-group points: `sort_array(collect_list(struct(...)))`. */
+  def collectSorted(t: Column, idx: Column, m: Column, w: Column): Column =
+    sort_array(collect_list(struct(
+      t.cast("double").as("t"),
+      idx.cast("long").as("i"),
+      m.cast("double").as("m"),
+      w.cast("double").as("w"))))
+
+  /** Evaluate `features` over one collected series; output is the
+    * concatenation of each feature's output vector, `fill` on failure. */
+  def evalSeries(features: Seq[Feature], fill: Double)(
+      t: Seq[Double], m: Seq[Double], w: Seq[Double]): Array[Double] = {
+    val lc = LightCurve(t.toArray, m.toArray, w.toArray)
+    val out = new Array[Double](features.map(_.size).sum)
+    var off = 0
+    features.foreach { f =>
+      val v = f.evalOrFill(lc, fill)
+      System.arraycopy(v, 0, out, off, v.length)
+      off += v.length
+    }
+    out
+  }
+
+  /** Flattened output names for a feature list (extractor contract). */
+  def outputNames(features: Seq[Feature]): Seq[String] = features.flatMap(_.names)
+
+  /**
+   * Column computing `features` over a sorted collected-points column
+   * (as produced by [[collectSorted]]): `extract(fs)($"pts")` yields
+   * `array<double>` of arity `fs.map(_.size).sum`.
+   */
+  def extract(features: Seq[Feature], fill: Double = Double.NaN): Column => Column = {
+    val f = udf(evalSeries(features, fill) _)
+    pts => f(pts.getField("t"), pts.getField("m"), pts.getField("w"))
+  }
+
+  /**
+   * Convenience: group `df` by `groupCols`, evaluate `features` over
+   * `(t, idx, m, w)` and return one named double column per output.
+   */
+  def aggregate(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      t: Column, idx: Column, m: Column, w: Column,
+      features: Seq[Feature],
+      fill: Double = Double.NaN): DataFrame = {
+    val grouped = df
+      .groupBy(groupCols: _*)
+      .agg(collectSorted(t, idx, m, w).as("pts"))
+      .withColumn("feats", extract(features, fill)(col("pts")))
+    val names = outputNames(features)
+    names.zipWithIndex.foldLeft(grouped) { case (d, (n, i)) =>
+      d.withColumn(n, col("feats").getItem(i))
+    }.drop("pts", "feats")
+  }
+
+  /** Default full single-band kernel battery. */
+  def allFeatures: Seq[Feature] = Features.all
+}

@@ -1,0 +1,588 @@
+package graft.queries
+
+import graft.functions.Kernels
+import graft.operators.SeriesFeatures
+import graft.ref.Features
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver-facing correctness queries: every implemented kernel expressed
+ * over the `events` test table (`user_id` plays the series id, `value`
+ * the magnitude, `epoch(ts)` the time axis, a deterministic synthetic
+ * inverse-variance weight) with a DuckDB-SQL oracle for each
+ * SQL-expressible kernel.
+ *
+ * Implementation split (the 100 TB design decision):
+ *  - O(1)-state sequential kernels (eta, eta_e, cusum, slopes, string
+ *    length) run as codegen'd window + hash aggregates — one shuffle,
+ *    no per-group array materialization.
+ *  - Whole-array kernels (R-5 quantiles, Otsu, Anderson-Darling,
+ *    biweight, fits) go through [[SeriesFeatures]]' bounded collect.
+ *  - Rollup/tier queries are pure Catalyst `groupBy(floor(t/window))`
+ *    partial+final hash aggregation.
+ *
+ * All float outputs are rounded to 6 decimals on BOTH sides so the
+ * driver's value-hash compare is insensitive to last-ulp differences
+ * between Spark's and DuckDB's summation orders.
+ */
+object EventQueries {
+
+  private val R = 6 // rounding decimals, both engines
+
+  /** Fixed epoch base subtracted from t on BOTH sides: keeps t small
+    * enough (O(1e6-1e7)) that float round-off in time aggregates stays
+    * far below the 6-decimal rounding granularity of the value-hash
+    * compare. Raw epoch seconds (~1.7e9) would leave only ~1e-7 abs
+    * precision — the same order as the rounding boundary. */
+  private val TBase = 1704067200.0 // 2024-01-01T00:00:00Z
+
+  /** Shared series derivation; the DuckDB oracle mirrors it in `PTS`. */
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet").select(
+      col("user_id"),
+      // parquet ts is TIMESTAMP_NTZ; interpret as UTC instant (session
+      // tz is UTC) -> exact micros/1e6, matching DuckDB's epoch(ts)
+      (unix_micros(col("ts").cast("timestamp")) / 1000000.0 - TBase).as("t"),
+      col("value").as("m"),
+      (lit(1.0) / (lit(1.0) + col("event_id") % 7)).as("w"),
+      col("event_id").as("idx"))
+
+  private val PTS =
+    s"SELECT user_id, epoch(ts) - $TBase AS t, value AS m, " +
+      "1.0/(1.0 + (event_id % 7)) AS w, event_id AS idx FROM events"
+
+  /** Round for the value-hash compare, with a tiny deterministic jitter
+    * (mirrored in every oracle) that shifts rounding boundaries off the
+    * decimal lattice the data concentrates on — otherwise a last-ulp
+    * difference between Spark's and DuckDB's summation orders flips the
+    * 6th decimal on exact-halfway values. */
+  private def r(c: Column): Column = round(c + JitterSql.toDouble, R)
+  private val JitterSql = "1.2345e-9" 
+
+  /** R-5 quantile over a DuckDB sorted list `arr` of length `n`. */
+  private def r5Sql(arr: String, n: String, q: String): String = {
+    val h = s"($n * $q - 0.5)"
+    val i = s"CAST(floor($h) AS BIGINT)"
+    s"""CASE WHEN $h < 0 THEN $arr[1]
+       | WHEN $i >= $n - 1 THEN $arr[$n]
+       | ELSE $arr[$i + 1] + ($h - floor($h)) * ($arr[$i + 2] - $arr[$i + 1])
+       | END""".stripMargin.replaceAll("\\s+", " ")
+  }
+
+  // group-level plateau/length guards shared by both sides
+  private val Guard2 = "count(*) >= 2 AND min(m) < max(m)"
+
+  // ---------------------------------------------------------------
+  // Catalyst-native simple aggregates
+  // ---------------------------------------------------------------
+
+  private def qSimpleStats(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir).groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_obs"),
+      r(Kernels.mean(col("m"))).as("mean"),
+      r(Kernels.amplitude(col("m"))).as("amplitude"),
+      r(Kernels.standardDeviation(col("m"))).as("std"),
+      r(Kernels.meanVariance(col("m"))).as("mean_variance"),
+      r(Kernels.duration(col("t"))).as("duration"),
+      r(Kernels.timeMean(col("t"))).as("time_mean"),
+      r(Kernels.timeStandardDeviation(col("t"))).as("time_std"))
+      .filter(col("n_obs") >= 2)
+      .orderBy(col("user_id"))
+
+  private val sqlSimpleStats =
+    s"""WITH p AS ($PTS)
+       |SELECT user_id, count(*) AS n_obs,
+       | round(avg(m) + $JitterSql, $R) AS mean,
+       | round((max(m) - min(m)) / 2 + $JitterSql, $R) AS amplitude,
+       | round(stddev_samp(m) + $JitterSql, $R) AS std,
+       | round(stddev_samp(m) / avg(m) + $JitterSql, $R) AS mean_variance,
+       | round(max(t) - min(t) + $JitterSql, $R) AS duration,
+       | round(avg(t) + $JitterSql, $R) AS time_mean,
+       | round(stddev_samp(t) + $JitterSql, $R) AS time_std
+       |FROM p GROUP BY user_id HAVING count(*) >= 2 ORDER BY user_id""".stripMargin
+
+  private def qWeighted(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir).groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_obs"),
+      r(Kernels.weightedMean(col("m"), col("w"))).as("weighted_mean"),
+      r(Kernels.reducedChi2(col("m"), col("w"))).as("reduced_chi2"),
+      r(Kernels.excessVariance(col("m"), col("w"))).as("excess_variance"))
+      .filter(col("n_obs") >= 2)
+      .drop("n_obs")
+      .orderBy(col("user_id"))
+
+  private val sqlWeighted =
+    s"""WITH p AS ($PTS)
+       |SELECT user_id,
+       | round(sum(m*w)/sum(w) + $JitterSql, $R) AS weighted_mean,
+       | round((sum(w*m*m) - sum(m*w)*sum(m*w)/sum(w)) / (count(*) - 1) + $JitterSql, $R) AS reduced_chi2,
+       | round((var_samp(m) - avg(1.0/w)) / (avg(m)*avg(m)) + $JitterSql, $R) AS excess_variance
+       |FROM p GROUP BY user_id HAVING count(*) >= 2 ORDER BY user_id""".stripMargin
+
+  /** Two-pass beyond-n-std: group mean/std via window, then count. */
+  private def qBeyond1Std(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"))
+    pts(s, dir)
+      .withColumn("mu", avg(col("m")).over(wAll))
+      .withColumn("sd", stddev_samp(col("m")).over(wAll))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        r(sum(when(abs(col("m") - col("mu")) > col("sd"), 1.0).otherwise(0.0)) /
+          count(lit(1))).as("beyond_1_std"))
+      .filter(col("n_obs") >= 2)
+      .drop("n_obs")
+      .orderBy(col("user_id"))
+  }
+
+  private val sqlBeyond1Std =
+    s"""WITH p AS ($PTS),
+       | st AS (SELECT *, avg(m) OVER (PARTITION BY user_id) AS mu,
+       |        stddev_samp(m) OVER (PARTITION BY user_id) AS sd FROM p)
+       |SELECT user_id,
+       | round(sum(CASE WHEN abs(m - mu) > sd THEN 1.0 ELSE 0.0 END) / count(*) + $JitterSql, $R) AS beyond_1_std
+       |FROM st GROUP BY user_id HAVING count(*) >= 2 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Sequential kernels as streaming window computations
+  // ---------------------------------------------------------------
+
+  private def withLags(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("idx"))
+    df.withColumn("dm", col("m") - lag(col("m"), 1).over(w))
+      .withColumn("dt", col("t") - lag(col("t"), 1).over(w))
+  }
+
+  private def qEta(s: SparkSession, dir: String): DataFrame =
+    withLags(pts(s, dir)).groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_obs"),
+      min(col("m")).as("mn"), max(col("m")).as("mx"),
+      r(sum(col("dm") * col("dm")) / ((count(lit(1)) - 1.0) * var_samp(col("m"))))
+        .as("eta"))
+      .filter(col("n_obs") >= 2 && col("mn") < col("mx"))
+      .select(col("user_id"), col("eta"))
+      .orderBy(col("user_id"))
+
+  private val sqlEta =
+    s"""WITH p AS ($PTS),
+       | d AS (SELECT *, m - lag(m) OVER (PARTITION BY user_id ORDER BY t, idx) AS dm FROM p)
+       |SELECT user_id,
+       | round(sum(dm*dm) / ((count(*) - 1) * var_samp(m)) + $JitterSql, $R) AS eta
+       |FROM d GROUP BY user_id HAVING $Guard2 ORDER BY user_id""".stripMargin
+
+  private def qEtaE(s: SparkSession, dir: String): DataFrame =
+    withLags(pts(s, dir)).groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_obs"),
+      min(col("m")).as("mn"), max(col("m")).as("mx"),
+      r(pow(max(col("t")) - min(col("t")), 2.0) *
+        sum(when(col("dt") =!= 0.0, pow(col("dm") / col("dt"), 2.0))) /
+        var_samp(col("m")) / pow(count(lit(1)) - 1.0, 3.0)).as("eta_e"))
+      .filter(col("n_obs") >= 2 && col("mn") < col("mx"))
+      .select(col("user_id"), col("eta_e"))
+      .orderBy(col("user_id"))
+
+  private val sqlEtaE =
+    s"""WITH p AS ($PTS),
+       | d AS (SELECT *, m - lag(m) OVER (PARTITION BY user_id ORDER BY t, idx) AS dm,
+       |        t - lag(t) OVER (PARTITION BY user_id ORDER BY t, idx) AS dt FROM p)
+       |SELECT user_id,
+       | round(pow(max(t) - min(t), 2) * sum(CASE WHEN dt <> 0 THEN pow(dm/dt, 2) END)
+       |   / var_samp(m) / pow(count(*) - 1, 3) + $JitterSql, $R) AS eta_e
+       |FROM d GROUP BY user_id HAVING $Guard2 ORDER BY user_id""".stripMargin
+
+  private def qSlopesIntervals(s: SparkSession, dir: String): DataFrame =
+    withLags(pts(s, dir)).groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_obs"),
+      r(max(when(col("dt") =!= 0.0, abs(col("dm") / col("dt"))))).as("maximum_slope"),
+      r(max(col("dt"))).as("maximum_time_interval"),
+      r(min(col("dt"))).as("minimum_time_interval"))
+      .filter(col("n_obs") >= 2)
+      .drop("n_obs")
+      .orderBy(col("user_id"))
+
+  private val sqlSlopesIntervals =
+    s"""WITH p AS ($PTS),
+       | d AS (SELECT *, m - lag(m) OVER (PARTITION BY user_id ORDER BY t, idx) AS dm,
+       |        t - lag(t) OVER (PARTITION BY user_id ORDER BY t, idx) AS dt FROM p)
+       |SELECT user_id,
+       | round(max(CASE WHEN dt <> 0 THEN abs(dm/dt) END) + $JitterSql, $R) AS maximum_slope,
+       | round(max(dt) + $JitterSql, $R) AS maximum_time_interval,
+       | round(min(dt) + $JitterSql, $R) AS minimum_time_interval
+       |FROM d GROUP BY user_id HAVING count(*) >= 2 ORDER BY user_id""".stripMargin
+
+  private def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"))
+    val wRun = wAll.orderBy(col("t"), col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts(s, dir)
+      .withColumn("mu", avg(col("m")).over(wAll))
+      .withColumn("cs", sum(col("m") - col("mu")).over(wRun))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        min(col("m")).as("mn"), max(col("m")).as("mx"),
+        r((max(col("cs")) - min(col("cs"))) /
+          (stddev_samp(col("m")) * count(lit(1)))).as("cusum"))
+      .filter(col("n_obs") >= 2 && col("mn") < col("mx"))
+      .select(col("user_id"), col("cusum"))
+      .orderBy(col("user_id"))
+  }
+
+  private val sqlCusum =
+    s"""WITH p AS ($PTS),
+       | st AS (SELECT *, avg(m) OVER (PARTITION BY user_id) AS mu FROM p),
+       | c AS (SELECT *, sum(m - mu) OVER (PARTITION BY user_id ORDER BY t, idx
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs FROM st)
+       |SELECT user_id,
+       | round((max(cs) - min(cs)) / (stddev_samp(m) * count(*)) + $JitterSql, $R) AS cusum
+       |FROM c GROUP BY user_id HAVING $Guard2 ORDER BY user_id""".stripMargin
+
+  private def qLaflerKinman(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("t"), col("idx"))
+    val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pts(s, dir)
+      .withColumn("dm", lead(col("m"), 1).over(wOrd) - col("m"))
+      .withColumn("wrap", first(col("m")).over(wFull) - last(col("m")).over(wFull))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        min(col("m")).as("mn"), max(col("m")).as("mx"),
+        r((sum(col("dm") * col("dm")) + any_value(col("wrap") * col("wrap"))) /
+          (lit(2.0) * var_samp(col("m")) * (count(lit(1)) - 1.0)))
+          .as("lafler_kinman_string_length"))
+      .filter(col("n_obs") >= 2 && col("mn") < col("mx"))
+      .select(col("user_id"), col("lafler_kinman_string_length"))
+      .orderBy(col("user_id"))
+  }
+
+  private val sqlLaflerKinman =
+    s"""WITH p AS ($PTS),
+       | d AS (SELECT *, lead(m) OVER (PARTITION BY user_id ORDER BY t, idx) - m AS dm,
+       |   first_value(m) OVER (PARTITION BY user_id ORDER BY t, idx
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) -
+       |   last_value(m) OVER (PARTITION BY user_id ORDER BY t, idx
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS wrap
+       |  FROM p)
+       |SELECT user_id,
+       | round((sum(dm*dm) + any_value(wrap*wrap)) / (2 * var_samp(m) * (count(*) - 1)) + $JitterSql, $R)
+       |   AS lafler_kinman_string_length
+       |FROM d GROUP BY user_id HAVING $Guard2 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Whole-array kernels via the SeriesFeatures collect operator
+  // ---------------------------------------------------------------
+
+  private def extracted(s: SparkSession, dir: String, feats: Seq[graft.ref.Feature],
+      outNames: Seq[String], minN: Int = 2): DataFrame = {
+    val base = pts(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        SeriesFeatures.collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"),
+        count(lit(1)).as("n_obs"),
+        min(col("m")).as("mn"), max(col("m")).as("mx"))
+      .filter(col("n_obs") >= minN && col("mn") < col("mx"))
+      .withColumn("f", SeriesFeatures.extract(feats)(col("p")))
+    outNames.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
+      d.withColumn(n, r(col("f").getItem(i)))
+    }.select((col("user_id") +: outNames.map(col)): _*).orderBy(col("user_id"))
+  }
+
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    extracted(s, dir,
+      Seq(Features.Median, Features.InterPercentileRange(0.25),
+        Features.MedianAbsoluteDeviation, Features.PercentAmplitude,
+        Features.MedianBufferRangePercentage(0.1),
+        Features.PercentDifferenceMagnitudePercentile(0.05),
+        Features.MagnitudePercentageRatio(0.4, 0.05)),
+      Seq("median", "inter_percentile_range", "median_absolute_deviation",
+        "percent_amplitude", "median_buffer_range_percentage",
+        "percent_difference_magnitude_percentile", "magnitude_percentage_ratio"))
+
+  private val sqlQuantiles = {
+    val med = r5Sql("arr", "n", "0.5")
+    s"""WITH p AS ($PTS),
+       | g AS (SELECT user_id, list_sort(list(m)) AS arr, count(*) AS n,
+       |        min(m) AS mn, max(m) AS mx
+       |       FROM p GROUP BY user_id HAVING $Guard2),
+       | q AS (SELECT user_id, arr, n, mn, mx, $med AS med,
+       |        ${r5Sql("arr", "n", "0.25")} AS q25, ${r5Sql("arr", "n", "0.75")} AS q75,
+       |        ${r5Sql("arr", "n", "0.05")} AS q05, ${r5Sql("arr", "n", "0.95")} AS q95,
+       |        ${r5Sql("arr", "n", "0.4")} AS q40, ${r5Sql("arr", "n", "0.6")} AS q60
+       |       FROM g),
+       | q2 AS (SELECT *, list_sort(list_transform(arr, x -> abs(x - med))) AS dev,
+       |         len(list_filter(arr, x -> abs(x - med) < 0.1 * (mx - mn) / 2)) AS n_under
+       |        FROM q)
+       |SELECT user_id,
+       | round(med + $JitterSql, $R) AS median,
+       | round(q75 - q25 + $JitterSql, $R) AS inter_percentile_range,
+       | round(${r5Sql("dev", "n", "0.5")} + $JitterSql, $R) AS median_absolute_deviation,
+       | round(CASE WHEN mx - med > med - mn THEN mx - med ELSE med - mn END + $JitterSql, $R) AS percent_amplitude,
+       | round(CAST(n_under AS DOUBLE) / n + $JitterSql, $R) AS median_buffer_range_percentage,
+       | round((q95 - q05) / med + $JitterSql, $R) AS percent_difference_magnitude_percentile,
+       | round((q60 - q40) / (q95 - q05) + $JitterSql, $R) AS magnitude_percentage_ratio
+       |FROM q2 ORDER BY user_id""".stripMargin
+  }
+
+  private def qMoments(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"))
+    pts(s, dir)
+      .withColumn("mu", avg(col("m")).over(wAll))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        min(col("m")).as("mn"), max(col("m")).as("mx"),
+        sum(pow(col("m") - col("mu"), 3.0)).as("m3"),
+        sum(pow(col("m") - col("mu"), 4.0)).as("m4"),
+        var_samp(col("m")).as("s2"),
+        stddev_samp(col("m")).as("sd"))
+      .filter(col("n_obs") >= 4 && col("mn") < col("mx"))
+      .select(
+        col("user_id"),
+        r(Kernels.skewFromMoments(col("n_obs").cast("double"), col("sd"), col("m3"))).as("skew"),
+        r(Kernels.kurtosisFromMoments(col("n_obs").cast("double"), col("s2"), col("m4"))).as("kurtosis"))
+      .orderBy(col("user_id"))
+  }
+
+  private val sqlMoments =
+    s"""WITH p AS ($PTS),
+       | st AS (SELECT *, avg(m) OVER (PARTITION BY user_id) AS mu FROM p),
+       | g AS (SELECT user_id, count(*) AS n, sum(pow(m - mu, 3)) AS m3,
+       |        sum(pow(m - mu, 4)) AS m4, var_samp(m) AS s2, stddev_samp(m) AS sd
+       |       FROM st GROUP BY user_id
+       |       HAVING count(*) >= 4 AND min(m) < max(m))
+       |SELECT user_id,
+       | round(m3 / pow(sd, 3) * n / ((n - 1.0) * (n - 2.0)) + $JitterSql, $R) AS skew,
+       | round(m4 / (s2*s2) * n * (n + 1.0) / ((n - 1.0) * (n - 2.0) * (n - 3.0))
+       |   - 3.0 * (n - 1.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0)) + $JitterSql, $R) AS kurtosis
+       |FROM g ORDER BY user_id""".stripMargin
+
+  private def qLinearFits(s: SparkSession, dir: String): DataFrame =
+    extracted(s, dir,
+      Seq(Features.LinearTrend, Features.LinearFit),
+      Seq("linear_trend", "linear_trend_sigma", "linear_trend_noise",
+        "linear_fit_slope", "linear_fit_slope_sigma", "linear_fit_reduced_chi2"),
+      minN = 3)
+
+  private val sqlLinearFits =
+    s"""WITH p AS ($PTS),
+       | su AS (SELECT user_id, count(*) AS n,
+       |         sum(t) AS sxu, sum(m) AS syu,
+       |         sum(w) AS sw, sum(w*t) AS sxw, sum(w*m) AS syw,
+       |         min(m) AS mn, max(m) AS mx
+       |        FROM p GROUP BY user_id HAVING count(*) >= 3 AND min(m) < max(m)),
+       | f AS (SELECT p.user_id,
+       |        sum(pow(t - sxu/n, 2)) AS sttu, sum((t - sxu/n) * m) AS styu,
+       |        sum(w * pow(t - sxw/sw, 2)) AS sttw, sum(w * (t - sxw/sw) * m) AS styw
+       |       FROM p JOIN su ON p.user_id = su.user_id GROUP BY p.user_id),
+       | s2 AS (SELECT su.user_id, n, mn, mx,
+       |         styu/sttu AS slope_u, (syu - sxu*(styu/sttu))/n AS icept_u, sttu,
+       |         styw/sttw AS slope_w, (syw - sxw*(styw/sttw))/sw AS icept_w, sttw
+       |        FROM su JOIN f ON su.user_id = f.user_id),
+       | c AS (SELECT p.user_id,
+       |        sum(pow(m - icept_u - slope_u*t, 2)) / (any_value(n) - 2.0) AS rchi2_u,
+       |        sum(w * pow(m - icept_w - slope_w*t, 2)) / (any_value(n) - 2.0) AS rchi2_w,
+       |        any_value(slope_u) AS slope_u, any_value(sttu) AS sttu,
+       |        any_value(slope_w) AS slope_w, any_value(sttw) AS sttw
+       |       FROM p JOIN s2 ON p.user_id = s2.user_id GROUP BY p.user_id)
+       |SELECT user_id,
+       | round(slope_u + $JitterSql, $R) AS linear_trend,
+       | round(sqrt(rchi2_u / sttu) + $JitterSql, $R) AS linear_trend_sigma,
+       | round(sqrt(rchi2_u) + $JitterSql, $R) AS linear_trend_noise,
+       | round(slope_w + $JitterSql, $R) AS linear_fit_slope,
+       | round(sqrt(1.0 / sttw) + $JitterSql, $R) AS linear_fit_slope_sigma,
+       | round(rchi2_w + $JitterSql, $R) AS linear_fit_reduced_chi2
+       |FROM c ORDER BY user_id""".stripMargin
+
+  private def qStetsonRoms(s: SparkSession, dir: String): DataFrame =
+    extracted(s, dir,
+      Seq(Features.StetsonK, Features.Roms),
+      Seq("stetson_k", "roms"))
+
+  private val sqlStetsonRoms = {
+    val med = r5Sql("arr", "n", "0.5")
+    s"""WITH p AS ($PTS),
+       | g AS (SELECT user_id, count(*) AS n, sum(m*w)/sum(w) AS wm,
+       |        list_sort(list(m)) AS arr
+       |       FROM p GROUP BY user_id HAVING $Guard2),
+       | g2 AS (SELECT user_id, n, wm, $med AS med FROM g),
+       | f AS (SELECT p.user_id,
+       |        sum(abs(m - wm) * sqrt(w)) / sqrt(any_value(n) * sum(w * pow(m - wm, 2))) AS stetson_k,
+       |        sum(abs(m - med) * sqrt(w)) / (any_value(n) - 1.0) AS roms
+       |       FROM p JOIN g2 ON p.user_id = g2.user_id GROUP BY p.user_id)
+       |SELECT user_id, round(stetson_k + $JitterSql, $R) AS stetson_k, round(roms + $JitterSql, $R) AS roms
+       |FROM f ORDER BY user_id""".stripMargin
+  }
+
+  /** Kernels with no SQL-expressible oracle (special functions / argmax
+    * scans); validated against the reference port in `sbt test`, driver
+    * gets a rows-only check. */
+  private def qSpecial(s: SparkSession, dir: String): DataFrame =
+    extracted(s, dir,
+      Seq(Features.AndersonDarlingNormal, Features.BiweightScale(),
+        Features.Chi2Pvar, Features.OtsuSplit),
+      Seq("anderson_darling_normal", "biweight_scale", "chi2_pvar",
+        "otsu_mean_diff", "otsu_std_lower", "otsu_std_upper",
+        "otsu_lower_to_all_ratio"))
+
+  // ---------------------------------------------------------------
+  // Rollup / tier queries (the engine core)
+  // ---------------------------------------------------------------
+
+  private def qTier1m(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .withColumn("bucket", Kernels.binIndex(col("t"), 60.0))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_pts"),
+        r(Kernels.binTime(col("bucket"), 60.0)).as("bucket_t"),
+        r(Kernels.binM(col("m"), col("w"))).as("bin_m"),
+        r(Kernels.binW(col("w"))).as("bin_w"))
+      .orderBy(col("user_id"), col("bucket"))
+
+  private val sqlTier1m =
+    s"""WITH p AS ($PTS)
+       |SELECT user_id, CAST(floor(t / 60) AS BIGINT) AS bucket, count(*) AS n_pts,
+       | round((floor(t / 60) + 0.5) * 60 + $JitterSql, $R) AS bucket_t,
+       | round(sum(m*w)/sum(w) + $JitterSql, $R) AS bin_m,
+       | round(sum(w)/count(*) + $JitterSql, $R) AS bin_w
+       |FROM p GROUP BY user_id, floor(t / 60) ORDER BY user_id, bucket""".stripMargin
+
+  /** 1h tier rebuilt from 1m partial sums — the cascade carries
+    * (sum_mw, sum_w, n) so coarser tiers compose exactly. */
+  private def qTierCascade1h(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .withColumn("b1m", Kernels.binIndex(col("t"), 60.0))
+      .groupBy(col("user_id"), col("b1m"))
+      .agg(sum(col("m") * col("w")).as("sum_mw"), sum(col("w")).as("sum_w"),
+        count(lit(1)).as("n"))
+      .withColumn("bucket", floor(col("b1m") / 60.0))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(
+        sum(col("n")).as("n_pts"),
+        r((col("bucket") + 0.5) * 3600.0).as("bucket_t"),
+        r(sum(col("sum_mw")) / sum(col("sum_w"))).as("bin_m"),
+        r(sum(col("sum_w")) / sum(col("n"))).as("bin_w"))
+      .orderBy(col("user_id"), col("bucket"))
+
+  private val sqlTierCascade1h =
+    s"""WITH p AS ($PTS)
+       |SELECT user_id, CAST(floor(floor(t / 60) / 60) AS BIGINT) AS bucket, count(*) AS n_pts,
+       | round((floor(floor(t / 60) / 60) + 0.5) * 3600 + $JitterSql, $R) AS bucket_t,
+       | round(sum(m*w)/sum(w) + $JitterSql, $R) AS bin_m,
+       | round(sum(w)/count(*) + $JitterSql, $R) AS bin_w
+       |FROM p GROUP BY user_id, floor(floor(t / 60) / 60) ORDER BY user_id, bucket""".stripMargin
+
+  /** Gap-fill the 1h tier: dense hourly buckets per user via
+    * `sequence` + explode, LOCF via `last(ignoreNulls)` window —
+    * pure Catalyst (SURVEY.md §7 step 5). */
+  private def qGapfillLocf(s: SparkSession, dir: String): DataFrame = {
+    val hourly = pts(s, dir)
+      .groupBy(col("user_id"), floor(col("t") / 3600).cast("long").as("bucket"))
+      .agg(avg(col("m")).as("hour_mean"))
+    val spans = hourly.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("user_id"),
+        explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans.join(hourly, Seq("user_id", "bucket"), "left")
+      .withColumn("filled", last(col("hour_mean"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("bucket"),
+        when(col("hour_mean").isNull, 1).otherwise(0).as("is_gap"),
+        r(col("filled")).as("hour_mean_locf"))
+      .orderBy(col("user_id"), col("bucket"))
+  }
+
+  private val sqlGapfillLocf =
+    s"""WITH p AS ($PTS),
+       | h AS (SELECT user_id, CAST(floor(t / 3600) AS BIGINT) AS bucket, avg(m) AS hour_mean
+       |       FROM p GROUP BY 1, 2),
+       | spans AS (SELECT user_id, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+       |           FROM h GROUP BY user_id),
+       | j AS (SELECT spans.user_id, spans.bucket, h.hour_mean
+       |       FROM spans LEFT JOIN h ON spans.user_id = h.user_id AND spans.bucket = h.bucket)
+       |SELECT user_id, bucket,
+       | CASE WHEN hour_mean IS NULL THEN 1 ELSE 0 END AS is_gap,
+       | round(last_value(hour_mean IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + $JitterSql, $R) AS hour_mean_locf
+       |FROM j ORDER BY user_id, bucket""".stripMargin
+
+  /** Reference Bins-then-features semantics: features over the 1m-binned
+    * series (t* = bucket center, m* = weighted mean, w* = mean weight). */
+  private def qBinsFeatures(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .groupBy(col("user_id"), Kernels.binIndex(col("t"), 60.0).as("b"))
+      .agg(Kernels.binM(col("m"), col("w")).as("bm"), Kernels.binW(col("w")).as("bw"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        r(avg(col("bm"))).as("bins_mean"),
+        r(stddev_samp(col("bm"))).as("bins_std"),
+        r((max(col("bm")) - min(col("bm"))) / 2.0).as("bins_amplitude"),
+        r(sum(col("bm") * col("bw")) / sum(col("bw"))).as("bins_weighted_mean"))
+      .filter(col("n_bins") >= 2)
+      .orderBy(col("user_id"))
+
+  private val sqlBinsFeatures =
+    s"""WITH p AS ($PTS),
+       | b AS (SELECT user_id, floor(t / 60) AS j, sum(m*w)/sum(w) AS bm,
+       |        sum(w)/count(*) AS bw
+       |       FROM p GROUP BY 1, 2)
+       |SELECT user_id, count(*) AS n_bins,
+       | round(avg(bm) + $JitterSql, $R) AS bins_mean,
+       | round(stddev_samp(bm) + $JitterSql, $R) AS bins_std,
+       | round((max(bm) - min(bm)) / 2 + $JitterSql, $R) AS bins_amplitude,
+       | round(sum(bm*bw)/sum(bw) + $JitterSql, $R) AS bins_weighted_mean
+       |FROM b GROUP BY user_id HAVING count(*) >= 2 ORDER BY user_id""".stripMargin
+
+  private def qObsCount(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir).groupBy(col("user_id"))
+      .agg(Kernels.observationCount().as("observation_count"))
+      .orderBy(col("user_id"))
+
+  private val sqlObsCount =
+    "SELECT user_id, count(*) AS observation_count FROM events GROUP BY user_id ORDER BY user_id"
+
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_obs_count" -> qObsCount _,
+    "q_simple_stats" -> qSimpleStats _,
+    "q_weighted" -> qWeighted _,
+    "q_beyond_1_std" -> qBeyond1Std _,
+    "q_eta" -> qEta _,
+    "q_eta_e" -> qEtaE _,
+    "q_slopes_intervals" -> qSlopesIntervals _,
+    "q_cusum" -> qCusum _,
+    "q_lafler_kinman" -> qLaflerKinman _,
+    "q_quantiles" -> qQuantiles _,
+    "q_moments" -> qMoments _,
+    "q_linear_fits" -> qLinearFits _,
+    "q_stetson_roms" -> qStetsonRoms _,
+    "q_special_kernels" -> qSpecial _,
+    "q_tier_1m" -> qTier1m _,
+    "q_tier_cascade_1h" -> qTierCascade1h _,
+    "q_gapfill_locf" -> qGapfillLocf _,
+    "q_bins_features" -> qBinsFeatures _)
+
+  val oracles: Map[String, String] = Map(
+    "q_obs_count" -> sqlObsCount,
+    "q_simple_stats" -> sqlSimpleStats,
+    "q_weighted" -> sqlWeighted,
+    "q_beyond_1_std" -> sqlBeyond1Std,
+    "q_eta" -> sqlEta,
+    "q_eta_e" -> sqlEtaE,
+    "q_slopes_intervals" -> sqlSlopesIntervals,
+    "q_cusum" -> sqlCusum,
+    "q_lafler_kinman" -> sqlLaflerKinman,
+    "q_quantiles" -> sqlQuantiles,
+    "q_moments" -> sqlMoments,
+    "q_linear_fits" -> sqlLinearFits,
+    "q_stetson_roms" -> sqlStetsonRoms,
+    "q_tier_1m" -> sqlTier1m,
+    "q_tier_cascade_1h" -> sqlTierCascade1h,
+    "q_gapfill_locf" -> sqlGapfillLocf,
+    "q_bins_features" -> sqlBinsFeatures)
+}
