@@ -1,23 +1,25 @@
 package graft
 
-import graft.queries.EventQueries
+import graft.queries.{EventQueries, TranscriptQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * the 1-minute retention-tier rollup (the engine's core operation). */
+    * the engine's core operation — the 1-minute retention-tier rollup
+    * over the transcript view. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_tier_1m")(spark, "/root/testdata/sf0.001")
+    queries("q_tr_tier_1m")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventQueries.queries
+    EventQueries.queries ++ TranscriptQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for kernels needing special
     * functions DuckDB lacks (ln_erfc, regularized incomplete gamma,
     * Otsu argmax scan) — those get rows-only checks here and exact
     * golden-value checks vs the reference port in `sbt test`. */
-  def oracleSql: Map[String, String] = EventQueries.oracles
+  def oracleSql: Map[String, String] =
+    EventQueries.oracles ++ TranscriptQueries.oracles
 }

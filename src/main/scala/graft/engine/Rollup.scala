@@ -1,0 +1,157 @@
+package graft.engine
+
+import graft.ref.Feature
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One rolled-up point of a retention tier. `n/sumW/sumMw` are the
+  * associative carries that make the 1m -> 1h -> 1d cascade exact
+  * (reference Bins semantics, /root/reference/src/features/bins.rs:
+  * 171-201: m* = sum(m w)/sum(w), w* = sum(w)/count); `feats` is the
+  * reference extractor's concatenated output vector over the bucket's
+  * input points (extractor.rs:111-121), NaN-filled on failure
+  * (eval_or_fill, evaluator.rs:144-149). */
+final case class TierPoint(
+    n: Long, sumW: Double, sumMw: Double,
+    binM: Double, binW: Double, feats: Array[Double])
+
+final case class TierSpec(name: String, window: Long)
+
+/**
+ * The retention-tier rollup engine (the north rule's core).
+ *
+ * Every tier is one `groupBy(conv_id, bucket)` hash aggregation — the
+ * single shuffle — whose per-group state is the sorted collected input
+ * points. All per-bucket math (carry sums AND feature kernels) runs in
+ * ONE deterministic pass over that sorted array, by the same
+ * single-node code as the reference port, so distributed results
+ * bit-match the single-node rollup by construction regardless of
+ * partitioning / merge order (SURVEY.md §7 "what's hard" #1).
+ *
+ * Scale design (10^12 turns):
+ *  - the group key includes the time bucket, so a hot conversation's
+ *    turns spread across buckets — per-group state is bounded by
+ *    turns-per-minute at the finest tier, and by window ratio
+ *    (60 / 24 rows) for cascaded tiers;
+ *  - coarser tiers NEVER touch raw turns: they re-aggregate the finer
+ *    tier's (exactly carried) bucket points, so the 1h/1d passes scan
+ *    60x/1440x less data;
+ *  - collect_list runs as ObjectHashAggregate with map-side partial
+ *    lists and sort-based spill fallback — skewed groups degrade to
+ *    disk, they don't OOM;
+ *  - gap-fill is `sequence` + explode + LOCF window: pure Catalyst,
+ *    no driver loops.
+ */
+object Rollup {
+
+  val Tiers: Seq[TierSpec] =
+    Seq(TierSpec("1m", 60L), TierSpec("1h", 3600L), TierSpec("1d", 86400L))
+
+  /** Default per-bucket kernel battery: the moment/robust kernels the
+    * north star calls out (amplitude, mean-variance, skew/kurtosis,
+    * Stetson-K) plus the cheap always-useful ones. */
+  def defaultFeatures: Seq[Feature] = {
+    import graft.ref.Features._
+    Seq(ObservationCount, Mean, Amplitude, StandardDeviation, MeanVariance,
+      WeightedMean, ReducedChi2, Skew, Kurtosis, StetsonK, Median, Eta)
+  }
+
+  /** The one shared per-bucket computation: carries + features over
+    * points pre-sorted by (t, idx). Raw turns enter with
+    * n=1, sumW=w, sumMw=m*w; tier points enter with their carries. */
+  def evalBucket(features: Seq[Feature])(
+      t: Seq[Double], m: Seq[Double], w: Seq[Double],
+      ns: Seq[Long], sws: Seq[Double], smws: Seq[Double]): TierPoint = {
+    var n = 0L; var sw = 0.0; var smw = 0.0
+    var i = 0
+    val len = ns.length
+    while (i < len) { n += ns(i); sw += sws(i); smw += smws(i); i += 1 }
+    val feats = graft.operators.SeriesFeatures.evalSeries(features, Double.NaN)(t, m, w)
+    TierPoint(n, sw, smw, smw / sw, sw / n, feats)
+  }
+
+  /** `sort_array(collect_list(struct(...)))` — the deterministic
+    * per-bucket state. Lexicographic struct order = (t, idx) order
+    * since t leads; idx breaks ties (stable `(conv_id, turn_idx)`
+    * order per the correctness gate). */
+  private def collectPoints(t: Column, idx: Column, m: Column, w: Column,
+      n: Column, sw: Column, smw: Column): Column =
+    sort_array(collect_list(struct(
+      t.cast("double").as("t"), idx.cast("long").as("i"),
+      m.cast("double").as("m"), w.cast("double").as("w"),
+      n.cast("long").as("n"), sw.cast("double").as("sw"),
+      smw.cast("double").as("smw"))))
+
+  private def tierAgg(grouped: DataFrame, window: Long, features: Seq[Feature]): DataFrame = {
+    val eval = udf(evalBucket(features) _)
+    val names = graft.operators.SeriesFeatures.outputNames(features)
+    val p = col("pts")
+    val withPoint = grouped
+      .withColumn("pt", eval(
+        p.getField("t"), p.getField("m"), p.getField("w"),
+        p.getField("n"), p.getField("sw"), p.getField("smw")))
+      .drop("pts")
+    val base = withPoint.select(
+      (Seq(
+        col("conv_id"), col("bucket"),
+        ((col("bucket") + 0.5) * window.toDouble).as("bucket_t"),
+        col("pt.n").as("n"), col("pt.sumW").as("sum_w"),
+        col("pt.sumMw").as("sum_mw"), col("pt.binM").as("bin_m"),
+        col("pt.binW").as("bin_w")) ++
+        names.zipWithIndex.map { case (nm, i) => col("pt.feats").getItem(i).as(nm) }): _*)
+    base
+  }
+
+  /** Finest tier straight from the turn series
+    * (columns conv_id, turn_idx, t, m, w — see [[Transcripts.series]]). */
+  def tierFromTurns(series: DataFrame, window: Long,
+      features: Seq[Feature] = defaultFeatures): DataFrame = {
+    val grouped = series
+      .groupBy(col("conv_id"), floor(col("t") / window.toDouble).cast("long").as("bucket"))
+      .agg(collectPoints(col("t"), col("turn_idx"), col("m"), col("w"),
+        lit(1L), col("w"), col("m") * col("w")).as("pts"))
+    tierAgg(grouped, window, features)
+  }
+
+  /** Cascade: coarser tier from a finer tier's points. The finer
+    * bucket index is the stable order key; t of a tier point is its
+    * bucket center, m its weighted mean, w its mean weight —
+    * reference Bins-then-features semantics (bins.rs:10-33). */
+  def tierFromTier(finer: DataFrame, window: Long,
+      features: Seq[Feature] = defaultFeatures): DataFrame = {
+    val grouped = finer
+      .groupBy(col("conv_id"), floor(col("bucket_t") / window.toDouble).cast("long").as("bucket"))
+      .agg(collectPoints(col("bucket_t"), col("bucket"), col("bin_m"), col("bin_w"),
+        col("n"), col("sum_w"), col("sum_mw")).as("pts"))
+    tierAgg(grouped, window, features)
+  }
+
+  /** Build all three retention tiers from the turn series. */
+  def buildAll(series: DataFrame, features: Seq[Feature] = defaultFeatures)
+      : Map[String, DataFrame] = {
+    val t1m = tierFromTurns(series, 60L, features)
+    val t1h = tierFromTier(t1m, 3600L, features)
+    val t1d = tierFromTier(t1h, 86400L, features)
+    Map("1m" -> t1m, "1h" -> t1h, "1d" -> t1d)
+  }
+
+  /** Gap-fill a tier to dense buckets per conversation with LOCF on
+    * the bucket value — `sequence` + explode + last(ignoreNulls)
+    * window, pure Catalyst (SURVEY.md §7 step 5). */
+  def gapFillLocf(tier: DataFrame, window: Long): DataFrame = {
+    val spans = tier.groupBy(col("conv_id"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("conv_id"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans.join(tier.select(col("conv_id"), col("bucket"), col("bin_m"), col("bin_w"), col("n")),
+        Seq("conv_id", "bucket"), "left")
+      .select(
+        col("conv_id"), col("bucket"),
+        ((col("bucket") + 0.5) * window.toDouble).as("bucket_t"),
+        when(col("n").isNull, lit(1)).otherwise(lit(0)).as("is_gap"),
+        last(col("bin_m"), ignoreNulls = true).over(w).as("bin_m_locf"),
+        last(col("bin_w"), ignoreNulls = true).over(w).as("bin_w_locf"))
+  }
+}
