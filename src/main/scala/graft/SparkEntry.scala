@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EventQueries, TranscriptQueries}
+import graft.queries.{EventQueries, MultiColorQueries, SpectralQueries, TranscriptQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventQueries.queries ++ TranscriptQueries.queries
+    EventQueries.queries ++ TranscriptQueries.queries ++
+      MultiColorQueries.queries ++ SpectralQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for kernels needing special
@@ -21,5 +22,6 @@ object SparkEntry {
     * Otsu argmax scan) — those get rows-only checks here and exact
     * golden-value checks vs the reference port in `sbt test`. */
   def oracleSql: Map[String, String] =
-    EventQueries.oracles ++ TranscriptQueries.oracles
+    EventQueries.oracles ++ TranscriptQueries.oracles ++
+      MultiColorQueries.oracles ++ SpectralQueries.oracles
 }

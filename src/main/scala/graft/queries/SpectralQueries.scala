@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.operators.SeriesFeatures
+import graft.ref.{Features, PeriodogramFeature, Transformed, Transformer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Periodogram and transformed-feature queries over the events series.
+ * The Lomb-Scargle kernel has no SQL-expressible oracle (dynamic
+ * per-series frequency grids + recurrent trig), so these queries get
+ * rows-only driver checks; the kernel itself is golden-tested against
+ * scipy values in PeriodogramSpec and the distributed path reuses the
+ * exact single-node code per group (bit-parity by construction).
+ */
+object SpectralQueries {
+
+  private val TBase = 1704067200.0
+
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet").select(
+      col("user_id"),
+      (unix_micros(col("ts").cast("timestamp")) / 1000000.0 - TBase).as("t"),
+      col("value").as("m"),
+      lit(1.0).as("w"),
+      col("event_id").as("idx"))
+
+  /** Top-2 Lomb-Scargle peaks per series (default dynamic grid:
+    * resolution 10, average Nyquist, PSD normalization). */
+  private def qPeriodogram(s: SparkSession, dir: String): DataFrame = {
+    val feats = Seq(PeriodogramFeature(peaks = 2))
+    val names = SeriesFeatures.outputNames(feats)
+    val base = pts(s, dir)
+      .groupBy(col("user_id"))
+      .agg(SeriesFeatures.collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"),
+        count(lit(1)).as("n_obs"))
+      .filter(col("n_obs") >= 4)
+      .withColumn("f", SeriesFeatures.extract(feats)(col("p")))
+    names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
+      d.withColumn(n, round(col("f").getItem(i), 6))
+    }.select((col("user_id") +: names.map(col)): _*).orderBy(col("user_id"))
+  }
+
+  /** Transformed meta-feature through the reference-port path
+    * (Transformed(inner, transformer) evaluated per group), proving
+    * the wrapper works distributed, not just as Catalyst columns. */
+  private def qTransformedFeatures(s: SparkSession, dir: String): DataFrame = {
+    val feats = Seq(
+      Transformed(Features.Amplitude, Transformer.Ln1p),
+      Transformed(Features.Mean, Transformer.Arcsinh),
+      Transformed(Features.StandardDeviation, Transformer.Sqrt),
+      Transformed(Features.Amplitude, Transformer.ClippedLg()))
+    val names = SeriesFeatures.outputNames(feats)
+    val base = pts(s, dir)
+      .groupBy(col("user_id"))
+      .agg(SeriesFeatures.collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"),
+        count(lit(1)).as("n_obs"))
+      .filter(col("n_obs") >= 2)
+      .withColumn("f", SeriesFeatures.extract(feats)(col("p")))
+    names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
+      d.withColumn(n, round(col("f").getItem(i) + 1.2345e-9, 6))
+    }.select((col("user_id") +: names.map(col)): _*).orderBy(col("user_id"))
+  }
+
+  private val sqlTransformedFeatures =
+    s"""WITH p AS (SELECT user_id, value AS m FROM events),
+       | g AS (SELECT user_id, count(*) AS n, avg(m) AS mean0,
+       |        (max(m) - min(m))/2 AS amp0, stddev_samp(m) AS std0
+       |       FROM p GROUP BY user_id HAVING count(*) >= 2)
+       |SELECT user_id,
+       | round(ln(1 + amp0) + 1.2345e-9, 6) AS ln1p_amplitude,
+       | round(ln(mean0 + sqrt(mean0*mean0 + 1)) + 1.2345e-9, 6) AS arcsinh_mean,
+       | round(sqrt(std0) + 1.2345e-9, 6) AS sqrt_standard_deviation,
+       | round(CASE WHEN amp0 < 2.2250738585072014e-308
+       |        THEN ${Transformer.ClippedLgZero}
+       |        ELSE log10(amp0) END + 1.2345e-9, 6) AS clipped_lg_amplitude
+       |FROM g ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_periodogram" -> qPeriodogram _,
+    "q_transformed_features" -> qTransformedFeatures _)
+
+  val oracles: Map[String, String] = Map(
+    "q_transformed_features" -> sqlTransformedFeatures)
+}

@@ -1,0 +1,99 @@
+package graft.ref
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for the Lomb-Scargle port, mirroring the reference's
+  * own oracle tests (periodogram/mod.rs:162-218 scipy comparison;
+  * features/periodogram.rs:806-851 peak recovery & plateau;
+  * peak_indices.rs:50-74). */
+class PeriodogramSpec extends AnyFunSuite {
+
+  private def relEq(a: Double, b: Double, rel: Double, eps: Double = 2.3e-16): Unit =
+    assert(math.abs(a - b) <= math.max(rel * math.max(math.abs(a), math.abs(b)), eps),
+      s"$a != $b (rel $rel)")
+
+  test("direct power matches scipy lombscargle (reference golden)") {
+    val n = 100
+    val t = Array.tabulate(n)(_.toDouble)
+    val m = t.map(x => math.sin(0.07 * x))
+
+    // single-frequency sanity: P(0.07) * 2/(N-1) ~ 1
+    val g1 = Periodogram.ZeroBasedPow2Grid(0.07, 0)
+    val p1 = Periodogram.directPower(t, m, g1)
+    relEq(p1(1) * 2.0 / (n - 1.0), 1.0, 1.0 / n)
+
+    // scipy.signal.lombscargle(t, standardized m, linspace(0, 0.04, 5))
+    val g2 = Periodogram.ZeroBasedPow2Grid(0.01, 2)
+    assert(g2.size == 5)
+    val p2 = Periodogram.directPower(t, m, g2)
+    val desired = Array(3.76158192e-33, 1.69901802e+01, 1.85772252e+01,
+      2.19604974e+01, 2.81505681e+01)
+    p2.zip(desired).foreach { case (a, d) => relEq(a, d, 1e-6) }
+  }
+
+  test("even-grid sinus: best period recovered within 5e-3") {
+    val period = 0.17
+    val rng = new java.util.Random(0)
+    val t = Array.tabulate(101)(i => i / 100.0)
+    val m = t.map(x =>
+      3.0 * math.sin(2.0 * math.Pi / period * x + 0.5) + 4.0 + 0.01 * rng.nextDouble())
+    val f = PeriodogramFeature()
+    val out = f.evalOrFill(LightCurve.unweighted(t, m), Double.NaN)
+    assert(math.abs(out(0) - period) < 5e-3, s"period ${out(0)}")
+    assert(out(1) > 0.0) // snr of the top peak is positive
+  }
+
+  test("uneven-grid sinus: best period recovered within 5e-3") {
+    val period = 0.17
+    val rng = new java.util.Random(0)
+    val t = Array.fill(100)(rng.nextDouble()).sorted
+    val m = t.map(x => 3.0 * math.sin(2.0 * math.Pi / period * x + 0.5) + 4.0)
+    val out = PeriodogramFeature().evalOrFill(LightCurve.unweighted(t, m), Double.NaN)
+    assert(math.abs(out(0) - period) < 5e-3, s"period ${out(0)}")
+  }
+
+  test("plateau series yields [0, 0] (reference periodogram_plateau)") {
+    val t = Array.tabulate(100)(i => i / 99.0)
+    val m = Array.fill(100)(0.0)
+    val out = PeriodogramFeature().evalOrFill(LightCurve.unweighted(t, m), Double.NaN)
+    assert(out.toSeq == Seq(0.0, 0.0))
+  }
+
+  test("peak indices semantics (reference peak_indices.rs goldens)") {
+    import Periodogram.peakIndicesReverseSorted
+    assert(peakIndicesReverseSorted(Array(0.0, 1.0, 0.0)).toSeq == Seq(1))
+    assert(peakIndicesReverseSorted(Array(1.0, 1.0, 1.0)).toSeq == Seq.empty)
+    assert(peakIndicesReverseSorted(Array(3.0, 2.0, 1.0)).toSeq == Seq.empty)
+    assert(peakIndicesReverseSorted(Array(1.0, 2.0, 3.0)).toSeq == Seq.empty)
+    // last element can't be a peak (no fall after it)
+    assert(peakIndicesReverseSorted(Array(1.0, 0.0, 2.0, 0.0, 3.0)).toSeq == Seq(2))
+  }
+
+  test("peaks are sorted by power descending and zero-padded") {
+    val power = Array(0.0, 5.0, 0.0, 9.0, 0.0, 2.0, 0.0)
+    val idx = Periodogram.peakIndicesReverseSorted(power)
+    assert(idx.toSeq == Seq(3, 1, 5))
+  }
+
+  test("dynamic linear grid derivation (freq.rs:313-331,410-418)") {
+    val t = Array.tabulate(101)(i => i / 100.0) // duration 1, n 101
+    val g = Periodogram.GridParams().linearFromT(t)
+    val duration = 1.0
+    val step = 2.0 * math.Pi * 100.0 / (101.0 * 10.0 * duration)
+    relEq(g.start, 4.0 * math.Pi / duration, 1e-12)
+    relEq(g.step, step, 1e-12)
+    val maxFreq = math.Pi * 100.0 / duration
+    assert(g.size == math.round((maxFreq - g.start) / step).toInt)
+  }
+
+  test("normalizations relate to psd exactly (power_trait.rs)") {
+    val raw = Array(0.0, 10.0, 49.0)
+    val n = 100
+    val std = Periodogram.Standard(raw.clone(), n)
+    std.zip(raw).foreach { case (s, r) => relEq(s, r * 2.0 / 99.0, 1e-15) }
+    val model = Periodogram.Model(raw.clone(), n)
+    model.zip(std).foreach { case (mo, s) => relEq(mo, s / (1.0 - s), 1e-12) }
+    val log = Periodogram.LogNorm(raw.clone(), n)
+    log.zip(std).foreach { case (lo, s) => relEq(lo, -math.log(1.0 - s), 1e-12) }
+  }
+}
