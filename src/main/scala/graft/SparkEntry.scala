@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EventQueries, MultiColorQueries, SpectralQueries, TranscriptQueries}
+import graft.queries.{EventQueries, MultiColorQueries, PipelineQueries, SpectralQueries, TranscriptQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -14,7 +14,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.queries ++ TranscriptQueries.queries ++
-      MultiColorQueries.queries ++ SpectralQueries.queries
+      MultiColorQueries.queries ++ SpectralQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for kernels needing special
@@ -23,5 +24,6 @@ object SparkEntry {
     * golden-value checks vs the reference port in `sbt test`. */
   def oracleSql: Map[String, String] =
     EventQueries.oracles ++ TranscriptQueries.oracles ++
-      MultiColorQueries.oracles ++ SpectralQueries.oracles
+      MultiColorQueries.oracles ++ SpectralQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for training-data pipelines, all as Catalyst column
+ * expressions (codegen'd, no UDFs): token counting, lexical quality
+ * scoring, document fingerprinting, and a corpus-trained n-gram
+ * language-ID scorer (the tiny per-language profile is learned with
+ * one aggregation, collected — it is model-sized, not data-sized —
+ * and shipped back as a broadcast literal map).
+ */
+object TextStats {
+
+  /** Whitespace tokens of single-space-joined text. */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  def nDistinctTokens(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Mean token length, exact for single-space-joined text:
+    * (chars - spaces) / tokens. */
+  def avgTokenLen(text: Column): Column =
+    (length(trim(text)) - (nTokens(text) - 1)).cast("double") / nTokens(text)
+
+  val Stopwords: Seq[String] =
+    Seq("a", "the", "to", "of", "and", "in", "is", "on")
+
+  def stopwordRatio(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*))).cast("double") /
+      nTokens(text)
+
+  def typeTokenRatio(text: Column): Column =
+    nDistinctTokens(text).cast("double") / nTokens(text)
+
+  /** Composite lexical quality score in [0, 1]: length saturation,
+    * lexical diversity, stopword moderation, word-length sanity. */
+  def qualityScore(text: Column): Column =
+    lit(0.25) * least(nTokens(text).cast("double") / 50.0, lit(1.0)) +
+      lit(0.25) * typeTokenRatio(text) +
+      lit(0.25) * (lit(1.0) - stopwordRatio(text)) +
+      lit(0.25) * least(avgTokenLen(text) / 8.0, lit(1.0))
+
+  /** Canonical-form fingerprint (Broder-style): md5 over the sorted
+    * distinct token set — equal iff the documents share their
+    * vocabulary set, robust to word order and repetition. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  // ---------------- language ID ----------------
+
+  /**
+   * Corpus-trained token-likelihood language ID. Training: one
+   * groupBy(lang, token) count aggregation, kept to the top
+   * `profileSize` tokens per language with add-one-smoothed log
+   * probabilities. Scoring: sum of per-token log likelihoods (unknown
+   * tokens get the smoothed floor), argmax over languages.
+   *
+   * The profile is a few KB — collected to the driver and embedded in
+   * the scoring UDF closure (broadcast with the task), which is the
+   * standard small-model pattern; the corpus itself never leaves the
+   * executors.
+   */
+  def languageId(docs: DataFrame, textCol: String, langCol: String,
+      profileSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(langCol).as("lang"),
+      explode(tokens(col(textCol))).as("token"))
+    val counts = tok.groupBy(col("lang"), col("token")).count()
+    val totals = counts.groupBy(col("lang"))
+      .agg(sum(col("count")).as("total"), count(lit(1)).as("vocab"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("count").desc, col("token"))
+    val top = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= profileSize)
+      .join(totals, "lang")
+      .select(col("lang"), col("token"),
+        log((col("count") + 1.0) / (col("total") + col("vocab"))).as("logp"),
+        log(lit(1.0) / (col("total") + col("vocab"))).as("floor"))
+
+    val rows = top.collect()
+    val floors: Map[String, Double] =
+      rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val model: Map[String, Map[String, Double]] = rows
+      .groupBy(_.getString(0))
+      .map { case (lang, rs) =>
+        lang -> rs.map(r => r.getString(1) -> r.getDouble(2)).toMap
+      }
+    val langs = model.keys.toSeq.sorted
+
+    val scoreU = udf((toks: Seq[String]) => {
+      var bestLang = ""
+      var bestScore = Double.NegativeInfinity
+      langs.foreach { lang =>
+        val m = model(lang)
+        val floor = floors(lang)
+        var s = 0.0
+        toks.foreach(t => s += m.getOrElse(t, floor))
+        if (s > bestScore) { bestScore = s; bestLang = lang }
+      }
+      bestLang
+    })
+    docs.withColumn("predicted_lang", scoreU(tokens(col(textCol))))
+  }
+}

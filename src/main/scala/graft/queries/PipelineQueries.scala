@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline queries over the `documents` and
+ * `embeddings` test tables: deduplication (exact hash, MinHash+LSH,
+ * SimHash, n-gram Jaccard), similarity search (brute-force cosine
+ * top-k, hyperplane-LSH ANN), text analysis (token counts, quality,
+ * fingerprints, language ID) and multimodal binary plumbing.
+ *
+ * SQL-expressible ops carry DuckDB oracles; signature-based ops
+ * (minhash/simhash/LSH — engine-specific hash streams) get rows-only
+ * driver checks plus exact behavioural tests in PipelineSpec.
+ */
+object PipelineQueries {
+
+  private val R = 6
+  private val JitterSql = "1.2345e-9"
+  private def r(c: Column): Column = round(c + JitterSql.toDouble, R)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeds(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---------------- text stats (all-Catalyst, one scan) ----------------
+
+  private def qTextStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextStats.nTokens(col("text")).as("n_tokens"),
+      TextStats.nDistinctTokens(col("text")).as("n_distinct_tokens"),
+      r(TextStats.avgTokenLen(col("text"))).as("avg_token_len"),
+      r(TextStats.stopwordRatio(col("text"))).as("stopword_ratio"),
+      r(TextStats.typeTokenRatio(col("text"))).as("type_token_ratio"),
+      r(TextStats.qualityScore(col("text"))).as("quality_score"),
+      TextStats.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val sqlTextStats = {
+    val toks = "string_split(trim(text), ' ')"
+    val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH g AS (SELECT doc_id, text, $toks AS toks FROM documents),
+       | t AS (SELECT doc_id, text, len(toks) AS nt,
+       |        len(list_distinct(toks)) AS nd,
+       |        CAST(length(trim(text)) - (len(toks) - 1) AS DOUBLE) / len(toks) AS atl,
+       |        CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+       |          / len(toks) AS swr,
+       |        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+       |       FROM g)
+       |SELECT doc_id, nt AS n_tokens, nd AS n_distinct_tokens,
+       | round(atl + $JitterSql, $R) AS avg_token_len,
+       | round(swr + $JitterSql, $R) AS stopword_ratio,
+       | round(CAST(nd AS DOUBLE)/nt + $JitterSql, $R) AS type_token_ratio,
+       | round(0.25*least(nt/50.0, 1.0) + 0.25*(CAST(nd AS DOUBLE)/nt)
+       |   + 0.25*(1.0 - swr) + 0.25*least(atl/8.0, 1.0) + $JitterSql, $R) AS quality_score,
+       | fp AS fingerprint
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------- exact dedup (hash groupBy) ----------------
+
+  private def qExactDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("text"))
+    val w = Window.partitionBy(col("content_hash"))
+    docs(s, dir).select(col("doc_id"), h.as("content_hash"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_canonical",
+        (col("doc_id") === min(col("doc_id")).over(w)).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sqlExactDedup =
+    s"""SELECT doc_id, md5(text) AS content_hash,
+       | count(*) OVER (PARTITION BY md5(text)) AS group_size,
+       | CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_canonical
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------- n-gram Jaccard pairs (blocked) ----------------
+
+  /** Exact word-2-gram Jaccard over pairs blocked by (lang, source) —
+    * the blocking keeps the pair count O(sum of block^2), never global
+    * quadratic. */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      Dedup.wordShingles(col("text"), 2).as("sh"))
+    val a = base.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("lang"), col("source"), col("id_a"), col("id_b"),
+        r(Dedup.jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.02)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val sqlNgramJaccard =
+    s"""WITH g AS (SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
+       |           FROM documents),
+       | sh AS (SELECT doc_id, lang, source,
+       |         list_distinct(CASE WHEN len(toks) >= 2
+       |           THEN list_transform(generate_series(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i + 1])
+       |           ELSE [] END) AS sh
+       |        FROM g),
+       | pairs AS (SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+       |            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+       |           FROM sh a JOIN sh b
+       |             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       |SELECT lang, source, id_a, id_b, round(j + $JitterSql, $R) AS jaccard
+       |FROM pairs WHERE round(j + $JitterSql, $R) >= 0.02 ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------- MinHash + LSH (rows-only + PipelineSpec) ----------------
+
+  private def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id").as("id"),
+      Dedup.wordShingles(col("text"), 2).as("shingles"))
+    Dedup.minHashLshPairs(base, k = 16, bands = 4)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def qSimHash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      Dedup.simHashUdf(TextStats.tokens(col("text"))).as("simhash"))
+      .withColumn("bands", Dedup.simHashBands(col("simhash")))
+      .select(col("doc_id"), col("simhash"),
+        col("bands").getItem(0).as("band_0"), col("bands").getItem(1).as("band_1"),
+        col("bands").getItem(2).as("band_2"), col("bands").getItem(3).as("band_3"))
+      .orderBy(col("doc_id"))
+
+  // ---------------- similarity search ----------------
+
+  private def qEmbedTopK(s: SparkSession, dir: String): DataFrame = {
+    val all = embeds(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = all.filter(col("id") < 8)
+    Similarity.bruteForceTopK(queries, all, k = 5)
+      .select(col("query_id"), col("cand_id"), r(col("cosine")).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sqlEmbedTopK =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       | scored AS (SELECT query_id, e.vec_id AS cand_id,
+       |             list_cosine_similarity(qv, e.v) AS cos
+       |            FROM q JOIN e ON e.vec_id <> q.query_id),
+       | ranked AS (SELECT query_id, cand_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cos DESC, cand_id) AS rank
+       |            FROM scored)
+       |SELECT query_id, cand_id, round(cos + $JitterSql, $R) AS cosine, rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def qEmbedAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val all = embeds(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.lshTopK(all, planes = 4, k = 3, tables = 4)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------- language ID (rows-only + PipelineSpec) ----------------
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextStats.languageId(docs(s, dir), "text", "lang")
+      .select(col("doc_id"), col("lang"), col("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  // ---------------- multimodal plumbing ----------------
+
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.n_bytes").as("n_bytes"))
+      .orderBy(col("doc_id"))
+
+  private val sqlMultimodalMeta =
+    """SELECT doc_id, 'text/utf-8' AS format,
+      | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStage(Multimodal.withPayload(docs(s, dir), "text"))
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("features.n_bytes").as("n_bytes"),
+        round(col("features.byte_mean"), 6).as("byte_mean"),
+        round(col("features.byte_entropy"), 6).as("byte_entropy"),
+        col("features.checksum").as("checksum"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_docs_text_stats" -> qTextStats _,
+    "q_docs_exact_dedup" -> qExactDedup _,
+    "q_docs_ngram_jaccard" -> qNgramJaccard _,
+    "q_docs_minhash_lsh" -> qMinHashLsh _,
+    "q_docs_simhash" -> qSimHash _,
+    "q_docs_langid" -> qLangId _,
+    "q_embed_topk" -> qEmbedTopK _,
+    "q_embed_ann_lsh" -> qEmbedAnnLsh _,
+    "q_multimodal_meta" -> qMultimodalMeta _,
+    "q_multimodal_decode" -> qMultimodalDecode _)
+
+  val oracles: Map[String, String] = Map(
+    "q_docs_text_stats" -> sqlTextStats,
+    "q_docs_exact_dedup" -> sqlExactDedup,
+    "q_docs_ngram_jaccard" -> sqlNgramJaccard,
+    "q_embed_topk" -> sqlEmbedTopK,
+    "q_multimodal_meta" -> sqlMultimodalMeta)
+}

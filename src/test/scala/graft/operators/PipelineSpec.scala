@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioural tests for the dedup / similarity / text / multimodal
+  * operators whose hash streams have no SQL oracle. */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Crafted corpus: 30 random docs + 5 planted near-duplicate pairs
+    * (one-word edit) + 1 exact duplicate pair. */
+  private def corpus: Seq[(Long, String)] = {
+    val rng = new scala.util.Random(4242)
+    val vocab = ('a' to 'z').map(_.toString)
+    def doc(): String = Seq.fill(60)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    val base = (0L until 30L).map(i => i -> doc())
+    val nearDups = (0 until 5).map { i =>
+      val (id, text) = base(i)
+      val toks = text.split(" ")
+      toks(30) = "zz" // one-token edit -> 2-gram jaccard ~ 0.95
+      (100L + id) -> toks.mkString(" ")
+    }
+    val exactDup = Seq(200L -> base(10)._2)
+    base ++ nearDups ++ exactDup
+  }
+
+  test("minhash-LSH finds every planted near-duplicate pair") {
+    import spark.implicits._
+    val df = corpus.toDF("id", "text")
+      .withColumn("shingles", Dedup.wordShingles(col("text"), 2))
+    val pairs = Dedup.minHashLshPairs(df, k = 16, bands = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    // planted near-dups and the exact dup must all surface
+    (0 until 5).foreach(i => assert(found.contains((i.toLong, 100L + i)), s"missing pair $i"))
+    assert(found.contains((10L, 200L)))
+    // exact dup: signature agreement and jaccard both 1
+    val exact = pairs.find(p => p._1 == 10L && p._2 == 200L).get
+    assert(exact._3 == 1.0 && exact._4 == 1.0)
+    // high-jaccard pairs must have high signature agreement
+    pairs.filter(_._4 > 0.9).foreach(p => assert(p._3 >= 0.5, s"est too low: $p"))
+  }
+
+  test("minhash signatures are deterministic and permutation-count-sized") {
+    val sh = Seq("a b", "b c", "c d", "d e")
+    val s1 = Dedup.minHashSignature(sh, 16, 42L)
+    val s2 = Dedup.minHashSignature(sh.reverse, 16, 42L)
+    assert(s1.toSeq == s2.toSeq) // set semantics: order-invariant
+    assert(s1.length == 16)
+    assert(Dedup.bandHashes(s1, 4).length == 4)
+  }
+
+  test("simhash: identical texts collide, near texts are close, random texts far") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val rng = new scala.util.Random(7)
+    val toks = Seq.fill(100)(rng.nextInt(1000).toString)
+    val same = Dedup.simHash(toks)
+    assert(Dedup.simHash(toks) == same)
+    val near = Dedup.simHash(toks.updated(3, "x").updated(50, "y"))
+    val far = Dedup.simHash(Seq.fill(100)(rng.nextInt(1000).toString + "q"))
+    assert(hamming(same, near) < 12, s"near hamming ${hamming(same, near)}")
+    assert(hamming(same, far) > 12, s"far hamming ${hamming(same, far)}")
+  }
+
+  test("hyperplane LSH ANN: buckets partition, cosines exact, recall reasonable") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val brute = Similarity.bruteForceTopK(all.filter(col("id") < 50), all, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lsh = Similarity.lshTopK(all, planes = 4, k = 5, tables = 4)
+      .filter(col("query_id") < 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // cosine values agree exactly between the two paths for shared pairs
+    val bruteMap = brute.map(t => (t._1, t._2) -> t._3).toMap
+    lsh.foreach { case (q, c, cos) =>
+      bruteMap.get((q, c)).foreach(bc => assert(math.abs(bc - cos) < 1e-12))
+    }
+    // recall@5 of the multi-table path vs exact (4 planes x 4 tables)
+    val bruteTop = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lshTop = lsh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bruteTop.collect { case (q, bs) if lshTop.contains(q) =>
+      (bs & lshTop(q)).size.toDouble / bs.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall > 0.35, s"recall@5 $recall")
+  }
+
+  test("fingerprint is word-order and repetition invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma alpha beta"),
+      (3L, "beta beta gamma alpha alpha"),
+      (4L, "alpha beta delta")).toDF("id", "text")
+      .select(col("id"), TextStats.fingerprint(col("text")).as("fp"))
+    val fp = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(2L) == fp(3L))
+    assert(fp(1L) != fp(4L))
+  }
+
+  test("multimodal stub decode: deterministic byte stats") {
+    val payload = "hello world".getBytes("UTF-8")
+    val f = Multimodal.decodeBytes(payload)
+    assert(f.n_bytes == 11L)
+    assert(math.abs(f.byte_mean - payload.map(_ & 0xff).sum.toDouble / 11) < 1e-12)
+    assert(f.checksum == Multimodal.decodeBytes(payload).checksum)
+    // uniform bytes -> entropy = 8 bits
+    val uniform = Array.tabulate[Byte](256)(_.toByte)
+    assert(math.abs(Multimodal.decodeBytes(uniform).byte_entropy - 8.0) < 1e-9)
+    // constant bytes -> entropy 0
+    assert(Multimodal.decodeBytes(Array.fill[Byte](64)(7)).byte_entropy == 0.0)
+  }
+
+  test("language ID mechanism: separable corpora classify correctly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val en = Seq("the", "cat", "sat", "on", "mat", "dog", "runs")
+    val fr = Seq("le", "chat", "est", "sur", "tapis", "chien", "court")
+    def mk(v: Seq[String]): String = Seq.fill(30)(v(rng.nextInt(v.length))).mkString(" ")
+    val docs = ((0 until 20).map(i => (i.toLong, mk(en), "en")) ++
+      (20 until 40).map(i => (i.toLong, mk(fr), "fr"))).toDF("doc_id", "text", "lang")
+    val out = TextStats.languageId(docs, "text", "lang")
+      .select(col("lang"), col("predicted_lang")).collect()
+    val acc = out.count(r => r.getString(0) == r.getString(1)).toDouble / out.length
+    assert(acc == 1.0, s"separable corpora should classify perfectly, got $acc")
+  }
+}
