@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.operators.SeriesFeatures
-import graft.ref.{Features, PeriodogramFeature, Transformed, Transformer}
+import graft.ref.{CurveFitFeature, Features, NonlinearFit, PeriodogramFeature, Transformed, Transformer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -76,9 +76,30 @@ object SpectralQueries {
        |        ELSE log10(amp0) END + 1.2345e-9, 6) AS clipped_lg_amplitude
        |FROM g ORDER BY user_id""".stripMargin
 
+  /** Nonlinear SN-model fits per series (Bazin 5p + Linexp 4p via the
+    * deterministic MCMC + Nelder-Mead pipeline); tolerance-tested in
+    * FitSpec, rows-only driver check (no SQL oracle exists for an
+    * optimizer). */
+  private def qCurveFits(s: SparkSession, dir: String): DataFrame = {
+    val feats = Seq(
+      CurveFitFeature(NonlinearFit.BazinModel),
+      CurveFitFeature(NonlinearFit.LinexpModel))
+    val names = SeriesFeatures.outputNames(feats)
+    val base = pts(s, dir)
+      .groupBy(col("user_id"))
+      .agg(SeriesFeatures.collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"),
+        count(lit(1)).as("n_obs"))
+      .filter(col("n_obs") >= 8)
+      .withColumn("f", SeriesFeatures.extract(feats)(col("p")))
+    names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
+      d.withColumn(n, round(col("f").getItem(i), 6))
+    }.select((col("user_id") +: names.map(col)): _*).orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_periodogram" -> qPeriodogram _,
-    "q_transformed_features" -> qTransformedFeatures _)
+    "q_transformed_features" -> qTransformedFeatures _,
+    "q_curve_fits" -> qCurveFits _)
 
   val oracles: Map[String, String] = Map(
     "q_transformed_features" -> sqlTransformedFeatures)

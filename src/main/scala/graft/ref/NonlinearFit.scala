@@ -1,0 +1,322 @@
+package graft.ref
+
+/**
+ * Nonlinear weighted least-squares curve fits of the reference's
+ * *Fit features (/root/reference/src/nl_fit/): data standardization
+ * (data.rs:16-76), data-driven inits/bounds (bazin_fit.rs:362-392,
+ * linexp_fit.rs:334-366, villar_fit.rs:492-532), and an
+ * affine-invariant ensemble sampler maximizing -chi2/2 + ln_prior
+ * (mcmc.rs:16-135; Goodman & Weare 2010 stretch move, the emcee
+ * algorithm) with a deterministic fixed-seed stream, plus a
+ * Nelder-Mead polish stage (the reference's optional fine-tuning
+ * slot, curve_fit.rs:24-52).
+ *
+ * Parity note (SURVEY.md §7 "what's hard" #4): the reference's MCMC
+ * stream depends on emcee's PRNG internals, so *Fit outputs are
+ * tolerance-tested, not bit-matched; determinism WITHIN this engine
+ * is guaranteed by the fixed seed.
+ */
+object NonlinearFit {
+
+  /** How each dimensionless parameter maps back to original units
+    * (linexp_fit.rs:213-233 FitParametersOriginalDimLessTrait). */
+  sealed trait ParamKind
+  case object MScale extends ParamKind // amplitude-like: orig = norm * m_std
+  case object MLoc extends ParamKind // baseline-like: orig = norm * m_std + m_mean
+  case object TLoc extends ParamKind // time location: orig = norm * t_std + t_mean
+  case object TScale extends ParamKind // time scale:   orig = norm * t_std
+  case object Unitless extends ParamKind
+
+  final case class InitsBounds(init: Array[Double], lower: Array[Double], upper: Array[Double])
+
+  trait FitModel extends Serializable {
+    def name: String
+    def nParams: Int
+    def paramNames: Seq[String]
+    def paramKinds: Seq[ParamKind]
+    /** Model value at (normalized) time t for dimensionless params. */
+    def model(t: Double, p: Array[Double]): Double
+    /** Data-driven inits/bounds from (normalized) series extrema. */
+    def initsBounds(tMin: Double, tMax: Double, tPeak: Double,
+        mMin: Double, mMax: Double): InitsBounds
+  }
+
+  /** 5-param SN flux: B + A exp((t0-t)/tau_fall) / (exp((t0-t)/tau_rise) + 1)
+    * (bazin_fit.rs:165-184); params [A, B, t0, tau_rise, tau_fall]. */
+  case object BazinModel extends FitModel {
+    val name = "bazin_fit"
+    val nParams = 5
+    val paramNames = Seq("amplitude", "baseline", "reference_time", "rise_time", "fall_time")
+    val paramKinds = Seq(MScale, MLoc, TLoc, TScale, TScale)
+    def model(t: Double, p: Array[Double]): Double = {
+      val minusDt = p(2) - t
+      p(1) + p(0) * math.exp(minusDt / p(4)) / (math.exp(minusDt / p(3)) + 1.0)
+    }
+    def initsBounds(tMin: Double, tMax: Double, tPeak: Double,
+        mMin: Double, mMax: Double): InitsBounds = {
+      val tAmp = tMax - tMin
+      val mAmp = mMax - mMin
+      InitsBounds(
+        Array(0.5 * mAmp, mMin, tPeak, 0.5 * tAmp, 0.5 * tAmp),
+        Array(0.0, mMin - 100.0 * mAmp, tMin - 10.0 * tAmp, 0.0, 0.0),
+        Array(100.0 * mAmp, mMax + 100.0 * mAmp, tMax + 10.0 * tAmp, 10.0 * tAmp, 10.0 * tAmp))
+    }
+  }
+
+  /** 4-param rise-decay: B + A dt/tau exp(-dt/tau), dt = (t-t0)/tau
+    * (linexp_fit.rs:158-170); params [A, t0, tau, B]. */
+  case object LinexpModel extends FitModel {
+    val name = "linexp_fit"
+    val nParams = 4
+    val paramNames = Seq("amplitude", "reference_time", "fall_time", "baseline")
+    val paramKinds = Seq(MScale, TLoc, TScale, MLoc)
+    def model(t: Double, p: Array[Double]): Double = {
+      val dt = (t - p(1)) / p(2)
+      p(3) + p(0) * dt * math.exp(-dt)
+    }
+    def initsBounds(tMin: Double, tMax: Double, tPeak: Double,
+        mMin: Double, mMax: Double): InitsBounds = {
+      val tAmp = tMax - tMin
+      val mAmp = mMax - mMin
+      val tauInit = 0.25 * tAmp
+      InitsBounds(
+        Array(3.0 * mAmp, tPeak - 1.5 * tauInit, tauInit, mMin),
+        Array(0.0, tMin - 10.0 * tAmp, 0.0, mMin - 100.0 * mAmp),
+        Array(100.0 * mAmp, tMax + 10.0 * tAmp, 10000.0 * tAmp, mMax + 100.0 * mAmp))
+    }
+  }
+
+  /** 7-param Villar SN model: c + a rise(t) plateau(t) fall(t)
+    * (villar_fit.rs:139-146,450-466); params
+    * [a, c, t0, tau_rise, tau_fall, nu, gamma]. */
+  case object VillarModel extends FitModel {
+    val name = "villar_fit"
+    val nParams = 7
+    val paramNames = Seq("amplitude", "baseline", "reference_time", "rise_time",
+      "fall_time", "plateau_rel_amplitude", "plateau_duration")
+    val paramKinds = Seq(MScale, MLoc, TLoc, TScale, TScale, Unitless, TScale)
+    def model(t: Double, p: Array[Double]): Double = {
+      val dt = t - p(2)
+      val rise = 1.0 / (1.0 + math.exp(-dt / p(3)))
+      val plateau = 1.0 - p(5) * math.min(dt / p(6), 1.0)
+      val t1 = p(2) + p(6)
+      val fall = if (t <= t1) 1.0 else math.exp(-(t - t1) / p(4))
+      p(1) + p(0) * rise * plateau * fall
+    }
+    def initsBounds(tMin: Double, tMax: Double, tPeak: Double,
+        mMin: Double, mMax: Double): InitsBounds = {
+      val tAmp = tMax - tMin
+      val mAmp = mMax - mMin
+      InitsBounds(
+        Array(0.5 * mAmp, mMin, tPeak, 0.5 * tAmp, 0.5 * tAmp, 0.0, 0.1 * tAmp),
+        Array(0.0, mMin - 100.0 * mAmp, tMin - 20.0 * tAmp, 0.0, 0.0, 0.0, 0.0),
+        Array(100.0 * mAmp, mMax + 100.0 * mAmp, tMax + 10.0 * tAmp,
+          10.0 * tAmp, 10.0 * tAmp, 1.0, 10.0 * tAmp))
+    }
+  }
+
+  // ---------------- optimizer ----------------
+
+  private def chi2(model: FitModel, t: Array[Double], m: Array[Double],
+      invErr: Array[Double], p: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < t.length) {
+      val r = invErr(i) * (model.model(t(i), p) - m(i))
+      s += r * r
+      i += 1
+    }
+    s
+  }
+
+  /** Goodman-Weare affine-invariant ensemble sampler maximizing
+    * -chi2/2 within bounds, 4 walkers per dimension, fixed seed
+    * (mcmc.rs:60-135 structure; independent implementation). */
+  def mcmcFit(model: FitModel, t: Array[Double], m: Array[Double],
+      invErr: Array[Double], ib: InitsBounds,
+      nIterations: Int = 128, seed: Long = 0L): Array[Double] = {
+    val np = model.nParams
+    val nWalkers = 4 * np
+    val rng = new java.util.SplittableRandom(seed)
+
+    def clamp(p: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < np) {
+        if (p(i) < ib.lower(i)) p(i) = ib.lower(i)
+        if (p(i) > ib.upper(i)) p(i) = ib.upper(i)
+        i += 1
+      }
+      p
+    }
+    def lnProb(p: Array[Double]): Double = {
+      var i = 0
+      while (i < np) {
+        if (p(i) < ib.lower(i) || p(i) > ib.upper(i)) return Double.NegativeInfinity
+        i += 1
+      }
+      -0.5 * chi2(model, t, m, invErr, p)
+    }
+
+    // init walkers: gaussian sigma=0.1 around x0 (mcmc.rs:106-111)
+    val walkers = Array.tabulate(nWalkers) { k =>
+      val p = Array.tabulate(np)(i =>
+        ib.init(i) + (if (k == 0) 0.0 else 0.1 * rng.nextGaussian()))
+      clamp(p)
+    }
+    val lnp = walkers.map(lnProb)
+    var bestP = walkers(0).clone()
+    var bestLnp = lnp(0)
+    var it = 0
+    while (it < nIterations) {
+      var k = 0
+      while (k < nWalkers) {
+        var j = rng.nextInt(nWalkers - 1)
+        if (j >= k) j += 1
+        // stretch move, a = 2: z = ((a-1)u + 1)^2 / a
+        val u = rng.nextDouble()
+        val z = (u + 1.0) * (u + 1.0) / 2.0
+        val prop = Array.tabulate(np)(i => walkers(j)(i) + z * (walkers(k)(i) - walkers(j)(i)))
+        val lp = lnProb(prop)
+        val lnAccept = (np - 1) * math.log(z) + lp - lnp(k)
+        if (lnAccept >= 0.0 || math.log(rng.nextDouble()) < lnAccept) {
+          walkers(k) = prop
+          lnp(k) = lp
+          if (lp > bestLnp) { bestLnp = lp; bestP = prop.clone() }
+        }
+        k += 1
+      }
+      it += 1
+    }
+    bestP
+  }
+
+  /** Bounded Nelder-Mead polish (the fine-tuning slot,
+    * curve_fit.rs:24-52); deterministic, derivative-free. */
+  def nelderMead(f: Array[Double] => Double, x0: Array[Double],
+      lower: Array[Double], upper: Array[Double],
+      maxIter: Int = 400): Array[Double] = {
+    val n = x0.length
+    def clamp(p: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < n) {
+        if (p(i) < lower(i)) p(i) = lower(i)
+        if (p(i) > upper(i)) p(i) = upper(i)
+        i += 1
+      }
+      p
+    }
+    var simplex = Array.tabulate(n + 1) { k =>
+      val p = x0.clone()
+      if (k > 0) {
+        val i = k - 1
+        val h = math.max(1e-3, 0.05 * (upper(i) - lower(i)).min(math.abs(x0(i)) + 1.0) * 0.1)
+        p(i) = p(i) + h
+      }
+      clamp(p)
+    }
+    var fv = simplex.map(f)
+    var it = 0
+    while (it < maxIter) {
+      val order = fv.indices.sortBy(fv(_))
+      simplex = order.map(simplex(_)).toArray
+      fv = order.map(fv(_)).toArray
+      val centroid = Array.tabulate(n)(i => simplex.init.map(_(i)).sum / n)
+      def combine(alpha: Double): Array[Double] =
+        clamp(Array.tabulate(n)(i => centroid(i) + alpha * (centroid(i) - simplex(n)(i))))
+      val refl = combine(1.0)
+      val fRefl = f(refl)
+      if (fRefl < fv(0)) {
+        val exp = combine(2.0)
+        val fExp = f(exp)
+        if (fExp < fRefl) { simplex(n) = exp; fv(n) = fExp }
+        else { simplex(n) = refl; fv(n) = fRefl }
+      } else if (fRefl < fv(n - 1)) {
+        simplex(n) = refl; fv(n) = fRefl
+      } else {
+        val con = combine(-0.5)
+        val fCon = f(con)
+        if (fCon < fv(n)) { simplex(n) = con; fv(n) = fCon }
+        else {
+          // shrink toward best
+          var k = 1
+          while (k <= n) {
+            simplex(k) = clamp(Array.tabulate(n)(i =>
+              simplex(0)(i) + 0.5 * (simplex(k)(i) - simplex(0)(i))))
+            fv(k) = f(simplex(k))
+            k += 1
+          }
+        }
+      }
+      it += 1
+    }
+    simplex(fv.indices.minBy(fv(_)))
+  }
+}
+
+/** A *Fit feature: normalize, fit (MCMC + Nelder-Mead polish), emit
+  * original-units parameters followed by the reduced chi2
+  * (fit_eval! macro, macros.rs:128-177). */
+final case class CurveFitFeature(model: NonlinearFit.FitModel,
+    nIterations: Int = 128, seed: Long = 0L) extends Feature {
+  import NonlinearFit._
+
+  val name: String = model.name
+  override val names: Seq[String] =
+    model.paramNames.map(p => s"${model.name}_$p") :+ s"${model.name}_reduced_chi2"
+  override val minTsLength: Int = model.nParams + 1
+  override val variabilityRequired = true
+
+  def evalNoCheck(lc: LightCurve): Array[Double] = {
+    // standardize t, m; scale 1/sigma by m_std (data.rs:16-76)
+    val tMean = lc.tMean
+    val tStd = lc.tStd
+    val mMean = lc.mMean
+    val mStd = lc.mStd
+    if (mStd == 0.0 || tStd == 0.0) throw FlatSeriesException
+    val t = lc.t.map(x => (x - tMean) / tStd)
+    val m = lc.m.map(x => (x - mMean) / mStd)
+    val invErr = lc.w.map(w => math.sqrt(w) * mStd)
+
+    // data-driven inits/bounds on the normalized series
+    var tPeak = t(0); var mMax = m(0); var mMin = m(0)
+    var i = 1
+    while (i < m.length) {
+      if (m(i) >= mMax) { mMax = m(i); tPeak = t(i) }
+      if (m(i) < mMin) mMin = m(i)
+      i += 1
+    }
+    val ib = model.initsBounds(t(0), t(t.length - 1), tPeak, mMin, mMax)
+
+    val coarse = mcmcFit(model, t, m, invErr, ib, nIterations, seed)
+    val best = nelderMead(p => chi2Of(t, m, invErr, p), coarse, ib.lower, ib.upper)
+    val redChi2 = chi2Of(t, m, invErr, best) / (t.length - model.nParams).toDouble
+
+    // dimensionless -> original units
+    val out = new Array[Double](model.nParams + 1)
+    i = 0
+    while (i < model.nParams) {
+      out(i) = model.paramKinds(i) match {
+        case MScale => best(i) * mStd
+        case MLoc => best(i) * mStd + mMean
+        case TLoc => best(i) * tStd + tMean
+        case TScale => best(i) * tStd
+        case Unitless => best(i)
+      }
+      i += 1
+    }
+    out(model.nParams) = redChi2
+    out
+  }
+
+  private def chi2Of(t: Array[Double], m: Array[Double], invErr: Array[Double],
+      p: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < t.length) {
+      val r = invErr(i) * (model.model(t(i), p) - m(i))
+      s += r * r
+      i += 1
+    }
+    s
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ref
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tolerance tests for the nonlinear fits (parameter recovery on
+  * synthetic curves with known ground truth, like the reference's
+  * scipy-golden approach, bazin_fit.rs:430-490 — tolerance-tested, not
+  * bit-matched: the reference's MCMC stream is emcee-PRNG-specific). */
+class FitSpec extends AnyFunSuite {
+
+  private def mkCurve(model: NonlinearFit.FitModel, truth: Array[Double],
+      sigma: Double, n: Int = 150, tLo: Double = -50, tHi: Double = 100)
+      : (Array[Double], Array[Double], Array[Double]) = {
+    val rng = new java.util.Random(99)
+    val t = Array.tabulate(n)(i => tLo + (tHi - tLo) * i / (n - 1.0))
+    val m = t.map(x => model.model(x, truth) + sigma * rng.nextGaussian())
+    val w = Array.fill(n)(1.0 / (sigma * sigma))
+    (t, m, w)
+  }
+
+  test("bazin fit recovers known parameters") {
+    val truth = Array(100.0, 10.0, 20.0, 5.0, 30.0) // A, B, t0, rise, fall
+    val (t, m, w) = mkCurve(NonlinearFit.BazinModel, truth, sigma = 0.5)
+    val out = CurveFitFeature(NonlinearFit.BazinModel)
+      .evalOrFill(LightCurve(t, m, w), Double.NaN)
+    assert(out.length == 6)
+    assert(math.abs(out(0) - truth(0)) / truth(0) < 0.1, s"amplitude ${out(0)}")
+    assert(math.abs(out(1) - truth(1)) < 2.0, s"baseline ${out(1)}")
+    assert(math.abs(out(2) - truth(2)) < 3.0, s"t0 ${out(2)}")
+    assert(math.abs(out(3) - truth(3)) / truth(3) < 0.5, s"rise ${out(3)}")
+    assert(math.abs(out(4) - truth(4)) / truth(4) < 0.3, s"fall ${out(4)}")
+    assert(out(5) > 0.3 && out(5) < 3.0, s"reduced chi2 ${out(5)}")
+  }
+
+  test("linexp fit recovers known parameters") {
+    val truth = Array(80.0, 0.0, 25.0, 5.0) // A, t0, tau, B
+    val (t, m, w) = mkCurve(NonlinearFit.LinexpModel, truth, sigma = 0.4,
+      tLo = -10, tHi = 200)
+    val out = CurveFitFeature(NonlinearFit.LinexpModel)
+      .evalOrFill(LightCurve(t, m, w), Double.NaN)
+    assert(out.length == 5)
+    assert(math.abs(out(0) - truth(0)) / truth(0) < 0.15, s"amplitude ${out(0)}")
+    assert(math.abs(out(1) - truth(1)) < 5.0, s"t0 ${out(1)}")
+    assert(math.abs(out(2) - truth(2)) / truth(2) < 0.25, s"tau ${out(2)}")
+    assert(out(4) > 0.3 && out(4) < 3.0, s"reduced chi2 ${out(4)}")
+  }
+
+  test("villar fit converges to a good model (reduced chi2 near 1)") {
+    val truth = Array(50.0, 5.0, 0.0, 4.0, 40.0, 0.3, 30.0)
+    val (t, m, w) = mkCurve(NonlinearFit.VillarModel, truth, sigma = 0.4,
+      tLo = -30, tHi = 250, n = 200)
+    val out = CurveFitFeature(NonlinearFit.VillarModel)
+      .evalOrFill(LightCurve(t, m, w), Double.NaN)
+    assert(out.length == 8)
+    assert(out(7) > 0.3 && out(7) < 4.0, s"reduced chi2 ${out(7)}")
+    assert(out(0) > 0.0)
+  }
+
+  test("fits are deterministic (fixed seed)") {
+    val truth = Array(100.0, 10.0, 20.0, 5.0, 30.0)
+    val (t, m, w) = mkCurve(NonlinearFit.BazinModel, truth, sigma = 1.0)
+    val f = CurveFitFeature(NonlinearFit.BazinModel)
+    val a = f.evalOrFill(LightCurve(t, m, w), Double.NaN)
+    val b = f.evalOrFill(LightCurve(t.clone(), m.clone(), w.clone()), Double.NaN)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("short or flat series fill per the evaluator contract") {
+    val f = CurveFitFeature(NonlinearFit.BazinModel)
+    val short = LightCurve.unweighted(Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0))
+    assert(f.evalOrFill(short, -9.0).forall(_ == -9.0))
+    val flat = LightCurve.unweighted(
+      Array.tabulate(20)(_.toDouble), Array.fill(20)(5.0))
+    assert(f.evalOrFill(flat, -9.0).forall(_ == -9.0))
+  }
+
+  test("nelder-mead minimizes a bounded quadratic") {
+    val f = (p: Array[Double]) =>
+      (p(0) - 3.0) * (p(0) - 3.0) + 2.0 * (p(1) + 1.0) * (p(1) + 1.0)
+    val best = NonlinearFit.nelderMead(f, Array(0.0, 0.0),
+      Array(-10.0, -10.0), Array(10.0, 10.0))
+    assert(math.abs(best(0) - 3.0) < 1e-3 && math.abs(best(1) + 1.0) < 1e-3)
+  }
+}
