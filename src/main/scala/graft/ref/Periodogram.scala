@@ -196,6 +196,94 @@ object Periodogram {
     out
   }
 
+  // ---------------- FFT power (power_fft.rs:85-275) ----------------
+
+  /**
+   * O(N log N) Lomb-Scargle via extirpolation: center m, linearly
+   * "spread" each observation onto a uniform 2^(k+1)-point time grid
+   * (dt = pi / maxFreq, wrap-around indexing), run two real FFTs
+   * (values and counts-at-2x), and assemble the tau-corrected power
+   * from the spectral sums. Requires a ZeroBasedPow2 grid; the last
+   * grid point is approximate (the reference's own oracle test
+   * excludes it, periodogram/mod.rs:249-251).
+   *
+   * Backend: Apache commons-math3 FastFourierTransformer (ships in
+   * /opt/spark/jars), plan-free; the reference caches rustfft plans
+   * per thread (fft_rustfft.rs:70-81) — JVM-side the transformer is
+   * stateless and allocation-light.
+   */
+  def fftPower(t: Array[Double], m: Array[Double], grid: ZeroBasedPow2Grid): Array[Double] = {
+    val n = t.length
+    val nf = n.toDouble
+    val mMean = LightCurve.mean(m)
+    val mStd2 = LightCurve.std2(m, mMean)
+    if (mStd2 == 0.0) return new Array[Double](grid.size)
+
+    val maxFreq = grid.step * (grid.size - 1)
+    val dt = math.Pi / maxFreq
+    val len = (grid.size - 1) << 1
+
+    val xSch = new Array[Double](len)
+    val xSc2 = new Array[Double](len)
+    val t0 = t(0)
+
+    // linear extirpolation with wrap-around (power_fft.rs:235-252)
+    def spread(v: Array[Double], x: Double, y: Double): Unit = {
+      val xLo = math.floor(x)
+      val xHi = math.ceil(x)
+      val iLo = (math.round(xLo) % len).toInt
+      val iHi = (math.round(xHi) % len).toInt
+      if (iLo == iHi) v(iLo) += y
+      else {
+        v(iLo) += (xHi - x) * y
+        v(iHi) += (x - xLo) * y
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val x = (t(i) - t0) / dt
+      spread(xSch, x, m(i) - mMean)
+      spread(xSc2, 2.0 * x, 1.0)
+      i += 1
+    }
+
+    import org.apache.commons.math3.transform.{DftNormalization, FastFourierTransformer, TransformType}
+    val fft = new FastFourierTransformer(DftNormalization.STANDARD)
+    val sch = fft.transform(xSch, TransformType.FORWARD)
+    val sc2 = fft.transform(xSc2, TransformType.FORWARD)
+
+    val out = new Array[Double](grid.size)
+    var k = 0
+    while (k < grid.size) {
+      val sumCosH = sch(k).getReal
+      val sumSinH = -sch(k).getImaginary
+      val sumCos2 = sc2(k).getReal
+      val sumSin2 = -sc2(k).getImaginary
+
+      val cos2wtau =
+        if (sumCos2 == 0.0 && sumSin2 == 0.0) 1.0
+        else sumCos2 / math.hypot(sumCos2, sumSin2)
+      val cosWtau = math.sqrt(0.5 * (1.0 + cos2wtau))
+      val sinWtau = math.signum(sumSin2) * math.sqrt(0.5 * (1.0 - cos2wtau))
+
+      val sumHCos = sumCosH * cosWtau + sumSinH * sinWtau
+      val sumHSin = sumSinH * cosWtau - sumCosH * sinWtau
+      val sumCos2WtTau = 0.5 * (nf + sumCos2 * cosWtau + sumSin2 * sinWtau)
+      val sumSin2WtTau = nf - sumCos2WtTau
+
+      val fracCos = if (sumCos2WtTau == 0.0) 0.0 else sumHCos * sumHCos / sumCos2WtTau
+      val fracSin = if (sumSin2WtTau == 0.0) 0.0 else sumHSin * sumHSin / sumSin2WtTau
+      val sumFrac =
+        if (fracCos == 0.0) 2.0 * fracSin
+        else if (fracSin == 0.0) 2.0 * fracCos
+        else fracSin + fracCos
+
+      out(k) = 0.5 / mStd2 * sumFrac
+      k += 1
+    }
+    out
+  }
+
   // ---------------- normalization (power_trait.rs:24-109) ----------------
 
   sealed trait Normalization extends Serializable {
@@ -257,7 +345,8 @@ object Periodogram {
 final case class PeriodogramFeature(
     peaks: Int = 1,
     params: Periodogram.GridParams = Periodogram.GridParams(),
-    normalization: Periodogram.Normalization = Periodogram.Psd) extends Feature {
+    normalization: Periodogram.Normalization = Periodogram.Psd,
+    useFft: Boolean = false) extends Feature {
 
   val name = "periodogram"
   override val names: Seq[String] =
@@ -267,8 +356,14 @@ final case class PeriodogramFeature(
   def evalNoCheck(lc: LightCurve): Array[Double] = {
     if (lc.t(lc.n - 1) == lc.t(0))
       throw ZeroDivisionException("zero duration, no frequency grid")
-    val grid = params.linearFromT(lc.t)
-    val raw = Periodogram.directPower(lc.t, lc.m, grid)
+    val (grid: Periodogram.FreqGrid, raw) =
+      if (useFft) {
+        val g = params.pow2FromT(lc.t)
+        (g, Periodogram.fftPower(lc.t, lc.m, g))
+      } else {
+        val g = params.linearFromT(lc.t)
+        (g, Periodogram.directPower(lc.t, lc.m, g))
+      }
     val power = normalization(raw, lc.n)
 
     val idx = Periodogram.peakIndicesReverseSorted(power)

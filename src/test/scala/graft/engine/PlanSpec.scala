@@ -1,0 +1,92 @@
+package graft.engine
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan audits: the properties that decide 100 TB viability
+ * are asserted, not eyeballed — predicate pushdown and column pruning
+ * reach the parquet scan, the small side of the similarity join is
+ * broadcast, and a tier build is exactly one shuffle.
+ */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-audit")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val turnsPath: String = {
+    val p = java.nio.file.Files.createTempDirectory("plan-turns").toString + "/turns.parquet"
+    Transcripts.synthetic(spark, 30, 20, seed = 13L).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("conv_id filter pushes down to the parquet scan") {
+    val df = Transcripts.series(
+      spark.read.parquet(turnsPath).filter(col("conv_id") === "c000000003"))
+    val plan = physicalPlan(df)
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s+", " ").matches(".*PushedFilters: \\[[^\\]]*EqualTo\\(conv_id.*"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("series derivation prunes to only the referenced columns") {
+    val df = Transcripts.series(spark.read.parquet(turnsPath))
+    val plan = physicalPlan(df)
+    // ReadSchema must carry only conv_id, turn_idx, text, ts - not role/tool
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("conv_id") && read.contains("ts") && read.contains("text"))
+    assert(!read.contains("role") && !read.contains("tool"), s"pruning failed: $read")
+  }
+
+  test("tier build is exactly one shuffle (partial + final hash aggregate)") {
+    val series = Transcripts.series(spark.read.parquet(turnsPath))
+    val tier = Rollup.tierFromTurns(series, 60L)
+    val plan = physicalPlan(tier)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      "collect aggregation operator missing")
+  }
+
+  test("tier cascade adds exactly one more shuffle per tier") {
+    val series = Transcripts.series(spark.read.parquet(turnsPath))
+    val t1h = Rollup.tierFromTier(Rollup.tierFromTurns(series, 60L), 3600L)
+    val exchanges = physicalPlan(t1h).linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 2, s"expected 2 Exchanges, got $exchanges")
+  }
+
+  test("brute-force top-k broadcasts the query side") {
+    val vecs = spark.range(200).select(col("id"),
+      array((0 until 8).map(i => rand(i)): _*).as("vec"))
+    val q = vecs.filter(col("id") < 4)
+    val plan = physicalPlan(Similarity.bruteForceTopK(q, vecs, 3))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+  }
+
+  test("catalyst collapses shared sub-aggregates into one physical aggregate") {
+    import graft.functions.Kernels
+    val series = Transcripts.series(spark.read.parquet(turnsPath))
+    val df = series.groupBy(col("conv_id")).agg(
+      Kernels.mean(col("m")).as("mean"),
+      Kernels.meanVariance(col("m")).as("mv"), // reuses avg(m), stddev(m)
+      Kernels.standardDeviation(col("m")).as("std"),
+      Kernels.weightedMean(col("m"), col("w")).as("wm"),
+      Kernels.reducedChi2(col("m"), col("w")).as("rchi2")) // reuses sum(m*w), sum(w)
+    val aggs = physicalPlan(df).linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("keys=[conv_id"))
+    assert(aggs == 2, s"expected partial+final (2) aggregates, got $aggs")
+    // one shuffle for the whole battery
+    assert(physicalPlan(df).linesIterator.count(_.contains("Exchange")) == 1)
+  }
+}

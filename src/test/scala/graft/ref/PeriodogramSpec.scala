@@ -86,6 +86,55 @@ class PeriodogramSpec extends AnyFunSuite {
     assert(g.size == math.round((maxFreq - g.start) / step).toInt)
   }
 
+  test("FFT is one-to-one with Direct at resolution 1 (periodogram/mod.rs:221-251)") {
+    // resolution 1 on an integer grid puts the extirpolation time grid
+    // exactly on the samples -> FFT equals Direct to 1e-8, last point
+    // excluded, exactly the reference's own oracle
+    val n = 64
+    val t = Array.tabulate(n)(_.toDouble)
+    val m = t.map(x => math.sin(0.472 * x))
+    val grid = Periodogram.GridParams(resolution = 1.0).pow2FromT(t)
+    val fft = Periodogram.fftPower(t, m, grid)
+    val direct = Periodogram.directPower(t, m, grid)
+    assert(fft.length == direct.length && fft.length == grid.size)
+    for (i <- 0 until grid.size - 1)
+      assert(math.abs(fft(i) - direct(i)) < 1e-8, s"bin $i: ${fft(i)} vs ${direct(i)}")
+  }
+
+  test("FFT and Direct agree on top-2 peaks (uniform res 4 + uneven fixed grid)") {
+    import Periodogram.peakIndicesReverseSorted
+    // uniform two-tone, resolution 4 (periodogram/mod.rs:254-295)
+    val n = 100
+    val t1 = Array.tabulate(n)(_.toDouble)
+    val m1 = t1.map(x => math.sin(0.472 * x) + 2.0 * math.cos(1.222 * x))
+    val g1 = Periodogram.GridParams(resolution = 4.0).pow2FromT(t1)
+    val f1 = Periodogram.fftPower(t1, m1, g1)
+    val d1 = Periodogram.directPower(t1, m1, g1)
+    assert(peakIndicesReverseSorted(f1).take(2).toSeq ==
+      peakIndicesReverseSorted(d1).take(2).toSeq)
+
+    // uneven + noise, fixed pow2 grid 0.01 x 257 (mod.rs:297-345)
+    val rng = new java.util.Random(0)
+    val t2 = Array.fill(n)(rng.nextDouble() * (n - 1)).sorted
+    val m2 = t2.map(x => math.sin(0.222 * x) + 2.0 * math.cos(1.222 * x) + rng.nextDouble())
+    val g2 = Periodogram.ZeroBasedPow2Grid(0.01, 8) // 257 points
+    assert(g2.size == 257)
+    val f2 = Periodogram.fftPower(t2, m2, g2)
+    val d2 = Periodogram.directPower(t2, m2, g2)
+    assert(peakIndicesReverseSorted(f2).take(2).toSeq ==
+      peakIndicesReverseSorted(d2).take(2).toSeq)
+  }
+
+  test("FFT path recovers the sinus period on an uneven grid") {
+    val period = 0.17
+    val rng = new java.util.Random(0)
+    val t = Array.fill(256)(rng.nextDouble()).sorted
+    val m = t.map(x => 3.0 * math.sin(2.0 * math.Pi / period * x + 0.5) + 4.0)
+    val out = PeriodogramFeature(useFft = true)
+      .evalOrFill(LightCurve.unweighted(t, m), Double.NaN)
+    assert(math.abs(out(0) - period) < 5e-3, s"period ${out(0)}")
+  }
+
   test("normalizations relate to psd exactly (power_trait.rs)") {
     val raw = Array(0.0, 10.0, 49.0)
     val n = 100
