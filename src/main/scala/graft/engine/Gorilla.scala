@@ -219,7 +219,7 @@ object Gorilla {
 
   /** `encodeCol(tsArray, valueArray)` -> binary Gorilla block. */
   def encodeCol(ts: Column, vs: Column): Column = {
-    val f = udf((t: Seq[Long], v: Seq[Double]) => encode(t.toArray, v.toArray))
+    val f = udf((t: Array[Long], v: Array[Double]) => encode(t, v))
     f(ts, vs)
   }
 

@@ -15,6 +15,8 @@ final class TaskThroughputListener extends SparkListener {
   val recordsRead = new LongAdder
   val shuffleRecordsRead = new LongAdder
   val runTimeMs = new LongAdder
+  val cpuTimeMs = new LongAdder
+  val gcTimeMs = new LongAdder
   val maxTaskMs = new AtomicLong(0L)
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
@@ -25,6 +27,8 @@ final class TaskThroughputListener extends SparkListener {
       shuffleRecordsRead.add(m.shuffleReadMetrics.recordsRead)
       val ms = m.executorRunTime
       runTimeMs.add(ms)
+      cpuTimeMs.add(m.executorCpuTime / 1000000L)
+      gcTimeMs.add(m.jvmGCTime)
       maxTaskMs.accumulateAndGet(ms, math.max(_, _))
     }
   }
@@ -39,6 +43,7 @@ final class TaskThroughputListener extends SparkListener {
   def json: String =
     s"""{"tasks":${tasks.sum()},"records_read":${recordsRead.sum()},""" +
       s""""shuffle_records_read":${shuffleRecordsRead.sum()},""" +
-      s""""task_runtime_ms":${runTimeMs.sum()},"max_task_ms":${maxTaskMs.get()},""" +
+      s""""task_runtime_ms":${runTimeMs.sum()},"cpu_time_ms":${cpuTimeMs.sum()},""" +
+      s""""gc_time_ms":${gcTimeMs.sum()},"max_task_ms":${maxTaskMs.get()},""" +
       s""""straggler_ratio":${f"$stragglerRatio%.3f"}}"""
 }

@@ -44,9 +44,9 @@ object RefRollup {
     }
     buckets.iterator.map { case (b, is) =>
       val tp = Rollup.evalBucket(features)(
-        is.map(i => pts.t(i)).toSeq, is.map(i => pts.m(i)).toSeq,
-        is.map(i => pts.w(i)).toSeq, is.map(i => pts.n(i)).toSeq,
-        is.map(i => pts.sw(i)).toSeq, is.map(i => pts.smw(i)).toSeq)
+        is.map(i => pts.t(i)).toArray, is.map(i => pts.m(i)).toArray,
+        is.map(i => pts.w(i)).toArray, is.map(i => pts.n(i)).toArray,
+        is.map(i => pts.sw(i)).toArray, is.map(i => pts.smw(i)).toArray)
       Point(convId, b, (b + 0.5) * window.toDouble,
         tp.n, tp.sumW, tp.sumMw, tp.binM, tp.binW, tp.feats)
     }.toVector.sortBy(_.bucket)

@@ -61,12 +61,27 @@ object Rollup {
     * points pre-sorted by (t, idx). Raw turns enter with
     * n=1, sumW=w, sumMw=m*w; tier points enter with their carries. */
   def evalBucket(features: Seq[Feature])(
-      t: Seq[Double], m: Seq[Double], w: Seq[Double],
-      ns: Seq[Long], sws: Seq[Double], smws: Seq[Double]): TierPoint = {
+      t: Array[Double], m: Array[Double], w: Array[Double],
+      ns: Array[Long], sws: Array[Double], smws: Array[Double]): TierPoint = {
     var n = 0L; var sw = 0.0; var smw = 0.0
     var i = 0
     val len = ns.length
     while (i < len) { n += ns(i); sw += sws(i); smw += smws(i); i += 1 }
+    val feats = graft.operators.SeriesFeatures.evalSeries(features, Double.NaN)(t, m, w)
+    TierPoint(n, sw, smw, smw / sw, sw / n, feats)
+  }
+
+  /** Raw-turn variant: carries derived in place (n=1, sw=w(i),
+    * smw=m(i)*w(i)) in the same sorted order and with the same float
+    * operations as [[evalBucket]] over [[RefRollup.fromTurns]] arrays —
+    * bit-identical results, 3 fewer struct fields on the engine's
+    * biggest shuffle (the raw-turn collect). */
+  def evalBucketRaw(features: Seq[Feature])(
+      t: Array[Double], m: Array[Double], w: Array[Double]): TierPoint = {
+    var n = 0L; var sw = 0.0; var smw = 0.0
+    var i = 0
+    val len = w.length
+    while (i < len) { n += 1L; sw += w(i); smw += m(i) * w(i); i += 1 }
     val feats = graft.operators.SeriesFeatures.evalSeries(features, Double.NaN)(t, m, w)
     TierPoint(n, sw, smw, smw / sw, sw / n, feats)
   }
@@ -83,15 +98,19 @@ object Rollup {
       n.cast("long").as("n"), sw.cast("double").as("sw"),
       smw.cast("double").as("smw"))))
 
-  private def tierAgg(grouped: DataFrame, window: Long, features: Seq[Feature]): DataFrame = {
-    val eval = udf(evalBucket(features) _)
+  private def tierAgg(grouped: DataFrame, window: Long, features: Seq[Feature],
+      raw: Boolean): DataFrame = {
     val names = graft.operators.SeriesFeatures.outputNames(features)
     val p = col("pts")
-    val withPoint = grouped
-      .withColumn("pt", eval(
+    val withPoint = (if (raw) {
+      val eval = udf(evalBucketRaw(features) _)
+      grouped.withColumn("pt", eval(p.getField("t"), p.getField("m"), p.getField("w")))
+    } else {
+      val eval = udf(evalBucket(features) _)
+      grouped.withColumn("pt", eval(
         p.getField("t"), p.getField("m"), p.getField("w"),
         p.getField("n"), p.getField("sw"), p.getField("smw")))
-      .drop("pts")
+    }).drop("pts")
     val base = withPoint.select(
       (Seq(
         col("conv_id"), col("bucket"),
@@ -107,11 +126,16 @@ object Rollup {
     * (columns conv_id, turn_idx, t, m, w — see [[Transcripts.series]]). */
   def tierFromTurns(series: DataFrame, window: Long,
       features: Seq[Feature] = defaultFeatures): DataFrame = {
+    // 4-field struct only: the raw-turn collect is the engine's
+    // dominant shuffle; carries are derived at finish (evalBucketRaw)
     val grouped = series
       .groupBy(col("conv_id"), floor(col("t") / window.toDouble).cast("long").as("bucket"))
-      .agg(collectPoints(col("t"), col("turn_idx"), col("m"), col("w"),
-        lit(1L), col("w"), col("m") * col("w")).as("pts"))
-    tierAgg(grouped, window, features)
+      .agg(sort_array(collect_list(struct(
+        col("t").cast("double").as("t"),
+        col("turn_idx").cast("long").as("i"),
+        col("m").cast("double").as("m"),
+        col("w").cast("double").as("w")))).as("pts"))
+    tierAgg(grouped, window, features, raw = true)
   }
 
   /** Cascade: coarser tier from a finer tier's points. The finer
@@ -124,7 +148,7 @@ object Rollup {
       .groupBy(col("conv_id"), floor(col("bucket_t") / window.toDouble).cast("long").as("bucket"))
       .agg(collectPoints(col("bucket_t"), col("bucket"), col("bin_m"), col("bin_w"),
         col("n"), col("sum_w"), col("sum_mw")).as("pts"))
-    tierAgg(grouped, window, features)
+    tierAgg(grouped, window, features, raw = false)
   }
 
   /** Build all three retention tiers from the turn series. */

@@ -40,10 +40,13 @@ object SeriesFeatures {
       w.cast("double").as("w"))))
 
   /** Evaluate `features` over one collected series; output is the
-    * concatenation of each feature's output vector, `fill` on failure. */
+    * concatenation of each feature's output vector, `fill` on failure.
+    * Primitive-array signature: Spark deserializes array<double> into
+    * Array[Double] via ArrayData.toDoubleArray — no per-element boxing
+    * (the boxed Seq path dominated GC at 32 threads). */
   def evalSeries(features: Seq[Feature], fill: Double)(
-      t: Seq[Double], m: Seq[Double], w: Seq[Double]): Array[Double] = {
-    val lc = LightCurve(t.toArray, m.toArray, w.toArray)
+      t: Array[Double], m: Array[Double], w: Array[Double]): Array[Double] = {
+    val lc = LightCurve(t, m, w)
     val out = new Array[Double](features.map(_.size).sum)
     var off = 0
     features.foreach { f =>

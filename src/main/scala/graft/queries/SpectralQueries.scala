@@ -96,10 +96,47 @@ object SpectralQueries {
     }.select((col("user_id") +: names.map(col)): _*).orderBy(col("user_id"))
   }
 
+  /** Combined multi-band periodogram per series (bands = event_type):
+    * per-band sorted collection, then one union-grid evaluation per
+    * series — two-level aggregation, both shuffles on bounded keys. */
+  private def qMcPeriodogram(s: SparkSession, dir: String): DataFrame = {
+    val evalU = udf((bands: Seq[String], ts: Seq[Seq[Double]], ms: Seq[Seq[Double]],
+        ws: Seq[Seq[Double]]) => {
+      val lcs = bands.indices.map(i => bands(i) ->
+        graft.ref.LightCurve(ts(i).toArray, ms(i).toArray, ws(i).toArray))
+      graft.ref.MultiColorPeriodogram.eval(lcs.toSeq, peaks = 2)
+    })
+    val perBand = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"),
+        col("event_type").as("band"),
+        (unix_micros(col("ts").cast("timestamp")) / 1000000.0 - TBase).as("t"),
+        col("value").as("m"), lit(1.0).as("w"), col("event_id").as("idx"))
+      .groupBy(col("user_id"), col("band"))
+      .agg(SeriesFeatures.collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 4)
+    perBand
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("band"), col("p")))).as("bp"))
+      .select(col("user_id"),
+        size(col("bp")).as("n_bands"),
+        evalU(col("bp.band"),
+          transform(col("bp"), x => x.getField("p").getField("t")),
+          transform(col("bp"), x => x.getField("p").getField("m")),
+          transform(col("bp"), x => x.getField("p").getField("w"))).as("f"))
+      .select(col("user_id"), col("n_bands"),
+        round(col("f").getItem(0), 6).as("mc_period_0"),
+        round(col("f").getItem(1), 6).as("mc_peak_snr_0"),
+        round(col("f").getItem(2), 6).as("mc_period_1"),
+        round(col("f").getItem(3), 6).as("mc_peak_snr_1"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_periodogram" -> qPeriodogram _,
     "q_transformed_features" -> qTransformedFeatures _,
-    "q_curve_fits" -> qCurveFits _)
+    "q_curve_fits" -> qCurveFits _,
+    "q_mc_periodogram" -> qMcPeriodogram _)
 
   val oracles: Map[String, String] = Map(
     "q_transformed_features" -> sqlTransformedFeatures)

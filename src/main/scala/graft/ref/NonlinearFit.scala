@@ -134,7 +134,8 @@ object NonlinearFit {
     * (mcmc.rs:60-135 structure; independent implementation). */
   def mcmcFit(model: FitModel, t: Array[Double], m: Array[Double],
       invErr: Array[Double], ib: InitsBounds,
-      nIterations: Int = 128, seed: Long = 0L): Array[Double] = {
+      nIterations: Int = 128, seed: Long = 0L,
+      lnPrior: Array[Double] => Double = LnPrior.flat): Array[Double] = {
     val np = model.nParams
     val nWalkers = 4 * np
     val rng = new java.util.SplittableRandom(seed)
@@ -154,7 +155,8 @@ object NonlinearFit {
         if (p(i) < ib.lower(i) || p(i) > ib.upper(i)) return Double.NegativeInfinity
         i += 1
       }
-      -0.5 * chi2(model, t, m, invErr, p)
+      // maximize -chi2/2 + ln_prior (mcmc.rs:80-100)
+      -0.5 * chi2(model, t, m, invErr, p) + lnPrior(p)
     }
 
     // init walkers: gaussian sigma=0.1 around x0 (mcmc.rs:106-111)

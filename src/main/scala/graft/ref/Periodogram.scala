@@ -346,12 +346,47 @@ final case class PeriodogramFeature(
     peaks: Int = 1,
     params: Periodogram.GridParams = Periodogram.GridParams(),
     normalization: Periodogram.Normalization = Periodogram.Psd,
-    useFft: Boolean = false) extends Feature {
+    useFft: Boolean = false,
+    phaseFeatures: Seq[Feature] = Seq.empty) extends Feature {
 
   val name = "periodogram"
   override val names: Seq[String] =
-    (0 until peaks).flatMap(i => Seq(s"period_$i", s"periodogram_peak_snr_$i"))
-  override val minTsLength = 2
+    (0 until peaks).flatMap(i => Seq(s"period_$i", s"periodogram_peak_snr_$i")) ++
+      phaseFeatures.flatMap(_.names.map(n => s"phase_$n"))
+  override val minTsLength =
+    math.max(2, phaseFeatures.map(_.minTsLength).maxOption.getOrElse(1))
+  override val variabilityRequired = phaseFeatures.exists(_.variabilityRequired)
+
+  /** Phase folding (features/periodogram.rs:42-89): phase = (t/P) mod 1
+    * shifted so the minimum-m observation is at phase 0, sorted by
+    * phase; near-duplicate phases (< 1e-6 apart) merged via Bins
+    * (:125-156). */
+  private def phaseFold(lc: LightCurve, period: Double): LightCurve = {
+    val n = lc.n
+    val raw = lc.t.map { ti =>
+      val p = (ti / period) % 1.0
+      if (p < 0.0) p + 1.0 else p
+    }
+    var iMin = 0
+    var i = 1
+    while (i < n) { if (lc.m(i) < lc.m(iMin)) iMin = i; i += 1 }
+    val off = raw(iMin)
+    val phases = raw.map(p => (p - off + 1.0) % 1.0)
+    val order = phases.indices.sortBy(phases(_))
+    val folded = new LightCurve(
+      order.map(phases(_)).toArray,
+      order.map(lc.m(_)).toArray,
+      order.map(lc.w(_)).toArray)
+    // merge near-duplicate phases (PHASE_DEDUP_WINDOW = 1e-6)
+    var minStep = Double.PositiveInfinity
+    i = 1
+    while (i < folded.n) {
+      val d = folded.t(i) - folded.t(i - 1)
+      if (d < minStep) minStep = d
+      i += 1
+    }
+    if (minStep < 1e-6) Bins(folded, 1e-6, 0.0).toLightCurve else folded
+  }
 
   def evalNoCheck(lc: LightCurve): Array[Double] = {
     if (lc.t(lc.n - 1) == lc.t(0))
@@ -378,6 +413,16 @@ final case class PeriodogramFeature(
       out(2 * k + 1) = (power(i) - pMean) / pStd
       k += 1
     }
-    out
+    if (phaseFeatures.isEmpty) out
+    else {
+      // phase features at the best period (periodogram.rs:553-575)
+      val bestPeriod = out(0)
+      if (!java.lang.Double.isFinite(bestPeriod) || bestPeriod <= 0.0)
+        throw ZeroDivisionException("best period is not positive, cannot phase-fold")
+      val folded = phaseFold(lc, bestPeriod)
+      val phaseOut = graft.operators.SeriesFeatures.evalSeries(
+        phaseFeatures, Double.NaN)(folded.t, folded.m, folded.w)
+      out ++ phaseOut
+    }
   }
 }

@@ -89,7 +89,7 @@ class ContractSpec extends AnyFunSuite {
     val feats = Seq(Features.Amplitude, Features.Mean, Features.OtsuSplit,
       Features.LinearFit, PeriodogramFeature(peaks = 2))
     val whole = graft.operators.SeriesFeatures
-      .evalSeries(feats, Double.NaN)(lc.t.toSeq, lc.m.toSeq, lc.w.toSeq)
+      .evalSeries(feats, Double.NaN)(lc.t, lc.m, lc.w)
     val parts = feats.flatMap(_.evalOrFill(
       new LightCurve(lc.t, lc.m, lc.w), Double.NaN))
     assert(whole.toSeq == parts)

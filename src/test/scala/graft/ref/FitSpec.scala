@@ -74,6 +74,38 @@ class FitSpec extends AnyFunSuite {
     assert(f.evalOrFill(flat, -9.0).forall(_ == -9.0))
   }
 
+  test("ln-priors steer the sampler (uniform prior restricts amplitude)") {
+    val truth = Array(100.0, 10.0, 20.0, 5.0, 30.0)
+    val (t, m, w) = mkCurve(NonlinearFit.BazinModel, truth, sigma = 0.5)
+    // normalize the same way CurveFitFeature does, then fit raw
+    val lc = LightCurve(t, m, w)
+    val tn = t.map(x => (x - lc.tMean) / lc.tStd)
+    val mn = m.map(x => (x - lc.mMean) / lc.mStd)
+    val ie = w.map(x => math.sqrt(x) * lc.mStd)
+    var tPeak = tn(0); var mMax = mn(0); var mMin = mn(0)
+    for (i <- 1 until mn.length) {
+      if (mn(i) >= mMax) { mMax = mn(i); tPeak = tn(i) }
+      if (mn(i) < mMin) mMin = mn(i)
+    }
+    val ib = NonlinearFit.BazinModel.initsBounds(tn(0), tn.last, tPeak, mMin, mMax)
+    val free = NonlinearFit.mcmcFit(NonlinearFit.BazinModel, tn, mn, ie, ib)
+    // clamp amplitude to under half its unconstrained optimum
+    val cap = free(0) * 0.5
+    val priors = LnPrior.independent(Seq(
+      LnPrior.uniform(0.0, cap), LnPrior.none, LnPrior.none, LnPrior.none, LnPrior.none))
+    val constrained = NonlinearFit.mcmcFit(NonlinearFit.BazinModel, tn, mn, ie, ib,
+      lnPrior = priors)
+    assert(constrained(0) <= cap + 1e-12, s"prior violated: ${constrained(0)} > $cap")
+
+    // prior math sanity
+    assert(LnPrior.normal(0.0, 1.0)(0.0) == -0.5 * math.log(2.0 * math.Pi))
+    assert(LnPrior.uniform(0.0, 2.0)(1.0) == -math.log(2.0))
+    assert(LnPrior.uniform(0.0, 2.0)(3.0).isNegInfinity)
+    assert(LnPrior.logUniform(1.0, math.E)(1.0) == -0.0 - math.log(math.log(math.E)))
+    val mixed = LnPrior.mix(Seq((1.0, LnPrior.uniform(0.0, 1.0)), (1.0, LnPrior.uniform(1.0, 2.0))))
+    assert(math.abs(mixed(0.5) - math.log(0.5)) < 1e-12)
+  }
+
   test("nelder-mead minimizes a bounded quadratic") {
     val f = (p: Array[Double]) =>
       (p(0) - 3.0) * (p(0) - 3.0) + 2.0 * (p(1) + 1.0) * (p(1) + 1.0)

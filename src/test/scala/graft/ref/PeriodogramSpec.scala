@@ -135,6 +135,27 @@ class PeriodogramSpec extends AnyFunSuite {
     assert(math.abs(out(0) - period) < 5e-3, s"period ${out(0)}")
   }
 
+  test("phase features evaluate on the folded series at the best period") {
+    val period = 0.17
+    val t = Array.tabulate(101)(i => i / 100.0)
+    val m = t.map(x => 3.0 * math.sin(2.0 * math.Pi / period * x + 0.5) + 4.0)
+    val f = PeriodogramFeature(
+      phaseFeatures = Seq(Features.Amplitude, Features.Eta))
+    assert(f.names == Seq("period_0", "periodogram_peak_snr_0",
+      "phase_amplitude", "phase_eta"))
+    val out = f.evalOrFill(LightCurve.unweighted(t, m), Double.NaN)
+    assert(out.length == 4)
+    assert(math.abs(out(0) - period) < 5e-3)
+    // folding preserves the magnitude set -> amplitude unchanged
+    assert(math.abs(out(2) - (m.max - m.min) / 2.0) < 1e-12)
+    // phase-folded periodic signal is smooth -> eta (von Neumann) small
+    val etaUnfolded = Features.Eta.evalOrFill(LightCurve.unweighted(t, m), Double.NaN)(0)
+    assert(out(3) < 0.5 * etaUnfolded, s"folded eta ${out(3)} vs unfolded $etaUnfolded")
+    // plateau input: zero best period -> whole output fills
+    val flat = LightCurve.unweighted(t, Array.fill(t.length)(1.0))
+    assert(f.evalOrFill(flat, -7.0).forall(_ == -7.0))
+  }
+
   test("normalizations relate to psd exactly (power_trait.rs)") {
     val raw = Array(0.0, 10.0, 49.0)
     val n = 100
