@@ -138,6 +138,47 @@ object Rollup {
     tierAgg(grouped, window, features, raw = true)
   }
 
+  /**
+   * Salted raw-tier build for hot-key skew: a conversation bursting
+   * thousands of turns inside ONE bucket still lands on a single task
+   * in [[tierFromTurns]]. Here the collect runs in two phases —
+   * partial collects on (conv_id, bucket, salt = turn_idx % k), then a
+   * merge that flattens + re-sorts the partial arrays — so no single
+   * task ever materializes a hot bucket's raw turns alone. The final
+   * per-bucket pass sorts the merged points by (t, idx), the same
+   * total order as the unsalted path: results are bit-identical
+   * (asserted in RollupParitySpec).
+   */
+  def tierFromTurnsSalted(series: DataFrame, window: Long,
+      features: Seq[Feature] = defaultFeatures, saltBuckets: Int = 8): DataFrame = {
+    val eval = udf(evalBucketRaw(features) _)
+    val names = graft.operators.SeriesFeatures.outputNames(features)
+    val partial = series
+      .groupBy(col("conv_id"),
+        floor(col("t") / window.toDouble).cast("long").as("bucket"),
+        pmod(col("turn_idx"), lit(saltBuckets)).as("salt"))
+      .agg(collect_list(struct(
+        col("t").cast("double").as("t"),
+        col("turn_idx").cast("long").as("i"),
+        col("m").cast("double").as("m"),
+        col("w").cast("double").as("w"))).as("part"))
+    val merged = partial
+      .groupBy(col("conv_id"), col("bucket"))
+      .agg(sort_array(flatten(collect_list(col("part")))).as("pts"))
+    val p = col("pts")
+    val withPoint = merged
+      .withColumn("pt", eval(p.getField("t"), p.getField("m"), p.getField("w")))
+      .drop("pts")
+    withPoint.select(
+      (Seq(
+        col("conv_id"), col("bucket"),
+        ((col("bucket") + 0.5) * window.toDouble).as("bucket_t"),
+        col("pt.n").as("n"), col("pt.sumW").as("sum_w"),
+        col("pt.sumMw").as("sum_mw"), col("pt.binM").as("bin_m"),
+        col("pt.binW").as("bin_w")) ++
+        names.zipWithIndex.map { case (nm, i) => col("pt.feats").getItem(i).as(nm) }): _*)
+  }
+
   /** Cascade: coarser tier from a finer tier's points. The finer
     * bucket index is the stable order key; t of a tier point is its
     * bucket center, m its weighted mean, w its mean weight —

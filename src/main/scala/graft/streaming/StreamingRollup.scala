@@ -18,6 +18,65 @@ import org.apache.spark.sql.functions._
  */
 object StreamingRollup {
 
+  /** Per-conversation custom state for the gap detector. */
+  final case class ConvState(lastTsMicros: Long, turns: Long)
+
+  /** A detected silence longer than the threshold. */
+  final case class GapEvent(conv_id: String, gap_start: java.sql.Timestamp,
+      gap_seconds: Double, turns_before: Long)
+
+  /**
+   * Stateful gap detection over a streaming transcript: emits one
+   * event per intra-conversation silence longer than `gapSeconds`.
+   * Custom per-key state via flatMapGroupsWithState (the engine-side
+   * streaming surface the windowed continuous aggregate can't
+   * express); state is one (lastTs, count) pair per conversation,
+   * bounded by event-time timeout. Turns arriving within one batch are
+   * processed in event-time order; a turn older than the state's
+   * watermarked lastTs is ignored (late data policy).
+   */
+  def gapEvents(turns: org.apache.spark.sql.Dataset[graft.engine.Turn],
+      gapSeconds: Double,
+      watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[GapEvent] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import turns.sparkSession.implicits._
+
+    def process(convId: String, it: Iterator[graft.engine.Turn],
+        state: GroupState[ConvState]): Iterator[GapEvent] = {
+      if (state.hasTimedOut) {
+        // conversation idle past the horizon: release its state
+        state.remove()
+        return Iterator.empty
+      }
+      val sorted = it.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx))
+      var st = state.getOption.getOrElse(ConvState(Long.MinValue, 0L))
+      val out = Seq.newBuilder[GapEvent]
+      sorted.foreach { t =>
+        val tsMicros = t.ts.getTime * 1000L
+        if (st.lastTsMicros != Long.MinValue && tsMicros > st.lastTsMicros) {
+          val gap = (tsMicros - st.lastTsMicros) / 1e6
+          if (gap > gapSeconds)
+            out += GapEvent(convId, new java.sql.Timestamp(st.lastTsMicros / 1000L),
+              gap, st.turns)
+        }
+        if (tsMicros > st.lastTsMicros)
+          st = ConvState(tsMicros, st.turns + 1)
+        else st = st.copy(turns = st.turns + 1)
+      }
+      state.update(st)
+      // timeout must land beyond the current watermark
+      val wmMs = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(
+        math.max(st.lastTsMicros / 1000L + 30L * 60 * 1000, wmMs + 60000L))
+      out.result().iterator
+    }
+
+    val base =
+      if (turns.isStreaming) turns.withWatermark("ts", watermark) else turns
+    base.groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(process)
+  }
+
   /** 1-minute continuous aggregate over a (streaming or batch)
     * transcript DataFrame with the north-rule schema. */
   def tier1m(turns: DataFrame, watermark: String = "10 minutes"): DataFrame = {

@@ -83,6 +83,14 @@ class RollupParitySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("salted raw-tier build is bit-identical to the unsalted path") {
+    val turns = Transcripts.synthetic(spark, nConvs = 30, meanTurns = 60, seed = 31L)
+    val series = Transcripts.series(turns.toDF)
+    val plain = sparkTierText(Rollup.tierFromTurns(series, 3600L, features))
+    val salted = sparkTierText(Rollup.tierFromTurnsSalted(series, 3600L, features, saltBuckets = 5))
+    assert(plain == salted)
+  }
+
   test("gap-fill LOCF matches the sequential reference") {
     val turns = Transcripts.synthetic(spark, nConvs = 25, meanTurns = 40, seed = 3L)
     val series = Transcripts.series(turns.toDF)

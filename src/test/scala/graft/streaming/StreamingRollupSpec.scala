@@ -61,6 +61,44 @@ class StreamingRollupSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful gap detector finds exactly the batch-computed gaps across chunks") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapThreshold = 120.0 // seconds
+
+    val turns = Transcripts.synthetic(spark, nConvs = 15, meanTurns = 40, seed = 17L)
+      .collect().toSeq.sortBy(t => (t.conv_id, t.turn_idx))
+
+    // expected: consecutive in-order gaps > threshold per conversation
+    val expected = turns.groupBy(_.conv_id).toSeq.flatMap { case (cid, ts) =>
+      val sorted = ts.sortBy(t => (t.ts.getTime, t.turn_idx))
+      sorted.sliding(2).collect {
+        case Seq(a, b) if (b.ts.getTime - a.ts.getTime) / 1e3 > gapThreshold =>
+          (cid, a.ts.getTime, (b.ts.getTime * 1000L - a.ts.getTime * 1000L) / 1e6)
+      }
+    }.toSet
+
+    val stream = MemoryStream[Turn]
+    val query = StreamingRollup.gapEvents(stream.toDS, gapThreshold)
+      .writeStream.format("memory").queryName("gap_stream")
+      .outputMode("append").start()
+    // feed in two event-time-ordered chunks (state must carry lastTs
+    // across batch boundaries; global time order keeps the second
+    // chunk ahead of the first chunk's watermark)
+    val byTime = turns.sortBy(_.ts.getTime)
+    val half = byTime.length / 2
+    stream.addData(byTime.take(half): _*)
+    query.processAllAvailable()
+    stream.addData(byTime.drop(half): _*)
+    query.processAllAvailable()
+
+    val got = spark.table("gap_stream").as[StreamingRollup.GapEvent].collect()
+      .map(g => (g.conv_id, g.gap_start.getTime, g.gap_seconds)).toSet
+    query.stop()
+    assert(got == expected, s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(expected.nonEmpty, "test corpus should contain gaps")
+  }
+
   test("streaming bucket indices line up with the batch rollup's floor(t/60)") {
     import spark.implicits._
     val turns = Transcripts.synthetic(spark, nConvs = 10, meanTurns = 20, seed = 9L)
