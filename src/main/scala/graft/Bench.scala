@@ -32,7 +32,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", 256)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // size-based coalescing, decoupled from core count
+      // (parallelismFirst would tie the coalesce floor to cores and
+      // change the plan between parallelism levels): fewer output
+      // files -> cheaper serial commit at every level
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -84,29 +90,39 @@ object Bench {
     val nTurns = spark0.read.parquet(inPath).count()
     spark0.stop()
 
-    def measure(c: Int, reps: Int): (Double, String) = {
-      val s = session(c)
-      // warm-up (discarded): JIT + codegen + parquet footer caches
-      buildTiers(s, inPath, s"$benchRoot/warm_$c")
-      // best-of-N: single-JVM local mode has JIT/compiler-thread noise;
-      // min is the standard noise-robust estimator
-      val listener = new TaskThroughputListener
-      s.sparkContext.addSparkListener(listener)
-      val secs = (1 to reps).map(_ => buildTiers(s, inPath, s"$benchRoot/tiers_$c")).min
-      s.stop()
-      (secs, listener.json)
-    }
-
     // Three parallelism points. The north rule's N-vs-4N gate is
     // evidenced at n -> 4n (both below this box's memory-bandwidth
     // saturation — the regime that models adding executors, each with
     // its own memory bus); the full-box point is the headline
     // throughput and exposes the single-JVM saturation ceiling.
+    // Levels are measured INTERLEAVED round-robin (this host's
+    // performance drifts over minutes; interleaving exposes every
+    // level to the same noise) and each level takes its best round.
     val nLow = math.max(cpus / 8, 1) // 4 at cpus=32
     val nMid = math.max(cpus / 2, 1) // 16 at cpus=32
-    val (secsN, metricsN) = measure(nLow, 2)
-    val (secs4N, metrics4N) = measure(nMid, 2)
-    val (secsMax, metricsMax) = measure(cpus, 3)
+    val levels = Seq(nLow, nMid, cpus)
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val best = scala.collection.mutable.Map(levels.map(_ -> Double.MaxValue): _*)
+    val metricsByLevel = scala.collection.mutable.Map.empty[Int, String]
+    var warmed = Set.empty[Int]
+    for (_ <- 1 to rounds; c <- levels) {
+      val s = session(c)
+      if (!warmed(c)) {
+        buildTiers(s, inPath, s"$benchRoot/warm_$c") // discarded
+        warmed += c
+      }
+      val listener = new TaskThroughputListener
+      s.sparkContext.addSparkListener(listener)
+      val secs = buildTiers(s, inPath, s"$benchRoot/tiers_$c")
+      if (secs < best(c)) {
+        best(c) = secs
+        metricsByLevel(c) = listener.json
+      }
+      s.stop()
+    }
+    val (secsN, metricsN) = (best(nLow), metricsByLevel(nLow))
+    val (secs4N, metrics4N) = (best(nMid), metricsByLevel(nMid))
+    val (secsMax, metricsMax) = (best(cpus), metricsByLevel(cpus))
     val thrN = nTurns / secsN
     val thr4N = nTurns / secs4N
     val thrMax = nTurns / secsMax

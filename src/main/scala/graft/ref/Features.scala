@@ -26,6 +26,16 @@ trait Feature extends Serializable {
   def minTsLength: Int = 1
   def variabilityRequired: Boolean = false
 
+  /** Input-requirement flags (reference EvaluatorInfo,
+    * src/evaluator.rs:14-23): which of t / m / w influence the
+    * output. The engine uses them for column pruning decisions and
+    * the contract suite probes them by perturbation
+    * (tests.rs:150-232). `sorting_required` is not modelled — every
+    * engine path feeds kernels pre-sorted by (t, turn_idx). */
+  def tRequired: Boolean = false
+  def mRequired: Boolean = true
+  def wRequired: Boolean = false
+
   /** Kernel body; assumes checks already passed. */
   def evalNoCheck(lc: LightCurve): Array[Double]
 
@@ -129,6 +139,7 @@ object Features {
     * clamped to [0,1] (chi2_pvar.rs:70-76). */
   case object Chi2Pvar extends Feature {
     val name = "chi2_pvar"
+    override val wRequired = true
     override val minTsLength = 2
     def evalNoCheck(lc: LightCurve): Array[Double] = {
       val dof = (lc.n - 1).toDouble
@@ -160,6 +171,8 @@ object Features {
   /** `t[N-1] - t[0]` (duration.rs:59-61). */
   case object Duration extends Feature {
     val name = "duration"
+    override val tRequired = true
+    override val mRequired = false
     def evalNoCheck(lc: LightCurve): Array[Double] = Array(lc.t(lc.n - 1) - lc.t(0))
   }
 
@@ -180,6 +193,7 @@ object Features {
     * non-finite slope terms dropped (eta_e.rs:67-82). */
   case object EtaE extends Feature {
     val name = "eta_e"
+    override val tRequired = true
     override val minTsLength = 2
     override val variabilityRequired = true
     def evalNoCheck(lc: LightCurve): Array[Double] = {
@@ -198,6 +212,7 @@ object Features {
   /** `(sigma^2 - mean(1/w)) / mean(m)^2` (excess_variance.rs:62-67). */
   case object ExcessVariance extends Feature {
     val name = "excess_variance"
+    override val wRequired = true
     override val minTsLength = 2
     def evalNoCheck(lc: LightCurve): Array[Double] = {
       var s = 0.0; var i = 0
@@ -256,6 +271,8 @@ object Features {
     * straight_line_fit.rs:12-74). */
   case object LinearFit extends Feature {
     val name = "linear_fit"
+    override val tRequired = true
+    override val wRequired = true
     override val names = Seq("linear_fit_slope", "linear_fit_slope_sigma", "linear_fit_reduced_chi2")
     override val minTsLength = 3
     def evalNoCheck(lc: LightCurve): Array[Double] = {
@@ -268,6 +285,7 @@ object Features {
     * sqrt(reduced chi2) (linear_trend.rs:67-74). */
   case object LinearTrend extends Feature {
     val name = "linear_trend"
+    override val tRequired = true
     override val names = Seq("linear_trend", "linear_trend_sigma", "linear_trend_noise")
     override val minTsLength = 3
     def evalNoCheck(lc: LightCurve): Array[Double] = {
@@ -293,6 +311,7 @@ object Features {
   /** `max |dm/dt|`, non-finite dropped (maximum_slope.rs:61-77). */
   case object MaximumSlope extends Feature {
     val name = "maximum_slope"
+    override val tRequired = true
     override val minTsLength = 2
     def evalNoCheck(lc: LightCurve): Array[Double] = {
       var best = Double.NegativeInfinity; var found = false; var i = 1
@@ -309,6 +328,8 @@ object Features {
   /** `max(dt)` (maximum_time_interval.rs:60-69). */
   case object MaximumTimeInterval extends Feature {
     val name = "maximum_time_interval"
+    override val tRequired = true
+    override val mRequired = false
     override val minTsLength = 2
     def evalNoCheck(lc: LightCurve): Array[Double] = {
       var best = Double.NegativeInfinity; var i = 1
@@ -320,6 +341,8 @@ object Features {
   /** `min(dt)` (minimum_time_interval.rs:60-69). */
   case object MinimumTimeInterval extends Feature {
     val name = "minimum_time_interval"
+    override val tRequired = true
+    override val mRequired = false
     override val minTsLength = 2
     def evalNoCheck(lc: LightCurve): Array[Double] = {
       var best = Double.PositiveInfinity; var i = 1
@@ -374,6 +397,7 @@ object Features {
   /** N (observation_count.rs:59-61). */
   case object ObservationCount extends Feature {
     val name = "observation_count"
+    override val mRequired = false
     override val minTsLength = 0
     def evalNoCheck(lc: LightCurve): Array[Double] = Array(lc.nf)
   }
@@ -452,6 +476,7 @@ object Features {
   /** `chi2 / (N-1)` around the weighted mean (reduced_chi2.rs:63-65). */
   case object ReducedChi2 extends Feature {
     val name = "reduced_chi2"
+    override val wRequired = true
     override val minTsLength = 2
     def evalNoCheck(lc: LightCurve): Array[Double] = Array(lc.mReducedChi2)
   }
@@ -460,6 +485,7 @@ object Features {
     * non-finite dropped (roms.rs:61-73). */
   case object Roms extends Feature {
     val name = "roms"
+    override val wRequired = true
     override val minTsLength = 2
     def evalNoCheck(lc: LightCurve): Array[Double] = {
       val med = lc.mMedian
@@ -498,6 +524,7 @@ object Features {
     * (stetson_k.rs:64-71). */
   case object StetsonK extends Feature {
     val name = "stetson_k"
+    override val wRequired = true
     override val minTsLength = 2
     override val variabilityRequired = true
     def evalNoCheck(lc: LightCurve): Array[Double] = {
@@ -511,12 +538,16 @@ object Features {
   /** Mean of t (time_mean.rs:57-59). */
   case object TimeMean extends Feature {
     val name = "time_mean"
+    override val tRequired = true
+    override val mRequired = false
     def evalNoCheck(lc: LightCurve): Array[Double] = Array(lc.tMean)
   }
 
   /** Sample sigma of t (time_standard_deviation.rs:59-61). */
   case object TimeStandardDeviation extends Feature {
     val name = "time_standard_deviation"
+    override val tRequired = true
+    override val mRequired = false
     override val minTsLength = 2
     def evalNoCheck(lc: LightCurve): Array[Double] = Array(lc.tStd)
   }
@@ -524,6 +555,7 @@ object Features {
   /** `sum(m w) / sum(w)` (weighted_mean.rs:58-60). */
   case object WeightedMean extends Feature {
     val name = "weighted_mean"
+    override val wRequired = true
     def evalNoCheck(lc: LightCurve): Array[Double] = Array(lc.mWeightedMean)
   }
 

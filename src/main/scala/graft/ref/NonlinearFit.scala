@@ -267,6 +267,8 @@ final case class CurveFitFeature(model: NonlinearFit.FitModel,
     model.paramNames.map(p => s"${model.name}_$p") :+ s"${model.name}_reduced_chi2"
   override val minTsLength: Int = model.nParams + 1
   override val variabilityRequired = true
+  override val tRequired = true
+  override val wRequired = true
 
   def evalNoCheck(lc: LightCurve): Array[Double] = {
     // standardize t, m; scale 1/sigma by m_std (data.rs:16-76)

@@ -356,6 +356,7 @@ final case class PeriodogramFeature(
   override val minTsLength =
     math.max(2, phaseFeatures.map(_.minTsLength).maxOption.getOrElse(1))
   override val variabilityRequired = phaseFeatures.exists(_.variabilityRequired)
+  override val tRequired = true
 
   /** Phase folding (features/periodogram.rs:42-89): phase = (t/P) mod 1
     * shifted so the minimum-m observation is at phase 0, sorted by

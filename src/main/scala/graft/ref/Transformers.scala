@@ -63,6 +63,9 @@ final case class Transformed(inner: Feature, transformer: Transformer) extends F
   override val names: Seq[String] = transformer.names(inner.names)
   override val minTsLength: Int = inner.minTsLength
   override val variabilityRequired: Boolean = inner.variabilityRequired
+  override val tRequired: Boolean = inner.tRequired
+  override val mRequired: Boolean = inner.mRequired
+  override val wRequired: Boolean = inner.wRequired
   def evalNoCheck(lc: LightCurve): Array[Double] =
     inner.evalNoCheck(lc).map(transformer.apply)
 }

@@ -84,6 +84,33 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("input-requirement flags hold under perturbation (tests.rs:150-232)") {
+    val lc = randomLc(96)
+    val rng = new java.util.Random(5)
+    // order-preserving t perturbation (cumulative positive jitter,
+    // non-uniform so scale-invariant kernels still see a change)
+    var acc = 0.0
+    val tP = lc.t.map { x => acc += 0.01 + 0.2 * rng.nextDouble(); x + acc }
+    val mP = lc.m.map(_ + rng.nextGaussian() * 2.0)
+    val wP = lc.w.map(_ * (0.3 + rng.nextDouble()))
+    def bits(a: Array[Double]) = a.map(java.lang.Double.doubleToLongBits).toSeq
+
+    allFeatures.foreach { f =>
+      val base = bits(f.evalOrFill(lc, Double.NaN))
+      val onT = bits(f.evalOrFill(new LightCurve(tP, lc.m, lc.w), Double.NaN))
+      val onM = bits(f.evalOrFill(new LightCurve(lc.t, mP, lc.w), Double.NaN))
+      val onW = bits(f.evalOrFill(new LightCurve(lc.t, lc.m, wP), Double.NaN))
+      // flag false -> output provably unchanged
+      if (!f.tRequired) assert(onT == base, s"${f.name}: t not required but output changed")
+      if (!f.mRequired) assert(onM == base, s"${f.name}: m not required but output changed")
+      if (!f.wRequired) assert(onW == base, s"${f.name}: w not required but output changed")
+      // flag true -> the perturbation must be visible
+      if (f.tRequired) assert(onT != base, s"${f.name}: t required but output unchanged")
+      if (f.mRequired) assert(onM != base, s"${f.name}: m required but output unchanged")
+      if (f.wRequired) assert(onW != base, s"${f.name}: w required but output unchanged")
+    }
+  }
+
   test("extractor concatenation contract: multi-feature output is the concat of singles") {
     val lc = randomLc()
     val feats = Seq(Features.Amplitude, Features.Mean, Features.OtsuSplit,
