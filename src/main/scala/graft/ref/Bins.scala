@@ -58,3 +58,26 @@ object Transformers {
   def composed(outer: Transformer, inner: Transformer): Transformer =
     x => outer(inner(x))
 }
+
+/**
+ * Bins as a meta-feature (reference bins.rs via transformer_eval!,
+ * macros.rs:87-104): downsample the series into `window`-second
+ * buckets, then evaluate the inner extractor over the binned series.
+ * Output names are prefixed `bins_` (per-child fill on failure, the
+ * extractor's eval_or_fill semantics).
+ */
+final case class BinsFeature(inner: Seq[Feature], window: Double = 1.0,
+    offset: Double = 0.0) extends Feature {
+  require(inner.nonEmpty, "BinsFeature needs at least one inner feature")
+  val name = "bins"
+  override val names: Seq[String] = inner.flatMap(_.names.map(n => s"bins_$n"))
+  override val minTsLength: Int = inner.map(_.minTsLength).max
+  override val variabilityRequired: Boolean = inner.exists(_.variabilityRequired)
+  override val tRequired = true
+  override val wRequired = true
+  def evalNoCheck(lc: LightCurve): Array[Double] = {
+    val binned = Bins(lc, window, offset).toLightCurve
+    graft.operators.SeriesFeatures.evalSeries(inner, Double.NaN)(
+      binned.t, binned.m, binned.w)
+  }
+}

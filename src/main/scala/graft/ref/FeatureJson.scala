@@ -1,0 +1,186 @@
+package graft.ref
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/**
+ * JSON (de)serialization of feature configurations — the reference's
+ * serde surface (its features ser/de as externally-tagged JSON and
+ * round-trip to equal evaluators, src/tests.rs:308-359): a user can
+ * persist an extractor configuration and rebuild the identical
+ * pipeline. Format: `{"Name": {param: value, ...}}`, nested features
+ * as arrays of the same shape.
+ */
+object FeatureJson {
+
+  private val mapper = new ObjectMapper()
+
+  // ---------------- write ----------------
+
+  def toJson(f: Feature): String = mapper.writeValueAsString(node(f))
+
+  def toJson(fs: Seq[Feature]): String = {
+    val arr = mapper.createArrayNode()
+    fs.foreach(f => arr.add(node(f)))
+    mapper.writeValueAsString(arr)
+  }
+
+  private def tag(name: String)(fill: ObjectNode => Unit): ObjectNode = {
+    val outer = mapper.createObjectNode()
+    val inner = outer.putObject(name)
+    fill(inner)
+    outer
+  }
+
+  private def node(f: Feature): ObjectNode = f match {
+    case Features.BeyondNStd(nstd) => tag("BeyondNStd")(_.put("nstd", nstd))
+    case Features.BiweightScale(c) => tag("BiweightScale")(_.put("c", c))
+    case Features.InterPercentileRange(q) =>
+      tag("InterPercentileRange")(_.put("quantile", q))
+    case Features.MagnitudePercentageRatio(qn, qd) =>
+      tag("MagnitudePercentageRatio")(o => { o.put("quantile_numerator", qn); o.put("quantile_denominator", qd) })
+    case Features.MedianBufferRangePercentage(q) =>
+      tag("MedianBufferRangePercentage")(_.put("quantile", q))
+    case Features.PercentDifferenceMagnitudePercentile(q) =>
+      tag("PercentDifferenceMagnitudePercentile")(_.put("quantile", q))
+    case p: PeriodogramFeature =>
+      tag("Periodogram") { o =>
+        o.put("peaks", p.peaks)
+        o.put("resolution", p.params.resolution)
+        o.put("max_freq_factor", p.params.maxFreqFactor)
+        o.put("nyquist", p.params.nyquist match {
+          case Periodogram.AverageNyquist => "average"
+          case Periodogram.MedianNyquist => "median"
+          case Periodogram.QuantileNyquist(q) => s"quantile:$q"
+          case Periodogram.FixedNyquist(v) => s"fixed:$v"
+        })
+        o.put("normalization", p.normalization match {
+          case Periodogram.Psd => "psd"
+          case Periodogram.Standard => "standard"
+          case Periodogram.Model => "model"
+          case Periodogram.LogNorm => "log"
+        })
+        o.put("fast", p.useFft)
+        val arr = o.putArray("phase_features")
+        p.phaseFeatures.foreach(pf => arr.add(node(pf)))
+      }
+    case Transformed(inner, tr) =>
+      tag("Transformed") { o =>
+        o.set[JsonNode]("feature", node(inner))
+        o.put("transformer", tr match {
+          case Transformer.Identity => "identity"
+          case Transformer.Arcsinh => "arcsinh"
+          case Transformer.Ln1p => "ln1p"
+          case Transformer.Lg => "lg"
+          case Transformer.Sqrt => "sqrt"
+          case Transformer.ClippedLg(mv) => s"clipped_lg:$mv"
+          case c: Transformer.Composed =>
+            throw new IllegalArgumentException(s"composed transformer not serializable: $c")
+        })
+      }
+    case cf: CurveFitFeature =>
+      tag(cf.model match {
+        case NonlinearFit.BazinModel => "BazinFit"
+        case NonlinearFit.VillarModel => "VillarFit"
+        case NonlinearFit.LinexpModel => "LinexpFit"
+      })(o => { o.put("niterations", cf.nIterations); o.put("seed", cf.seed) })
+    case BinsFeature(inner, window, offset) =>
+      tag("Bins") { o =>
+        o.put("window", window)
+        o.put("offset", offset)
+        val arr = o.putArray("features")
+        inner.foreach(f => arr.add(node(f)))
+      }
+    case simple =>
+      // parameterless case objects serialize by their class name
+      tag(simple.getClass.getSimpleName.stripSuffix("$"))(_ => ())
+  }
+
+  // ---------------- read ----------------
+
+  def parseOne(json: String): Feature = fromNode(mapper.readTree(json))
+
+  def parseList(json: String): Seq[Feature] = {
+    val root = mapper.readTree(json)
+    require(root.isArray, "expected a JSON array of features")
+    (0 until root.size()).map(i => fromNode(root.get(i)))
+  }
+
+  private def fromNode(n: JsonNode): Feature = {
+    require(n.isObject && n.size() == 1, s"expected externally-tagged object, got $n")
+    val name = n.fieldNames().next()
+    val b = n.get(name)
+    def d(field: String, dflt: Double): Double =
+      if (b.has(field)) b.get(field).asDouble() else dflt
+    name match {
+      case "BeyondNStd" => Features.BeyondNStd(d("nstd", 1.0))
+      case "BiweightScale" => Features.BiweightScale(d("c", 9.0))
+      case "InterPercentileRange" => Features.InterPercentileRange(d("quantile", 0.25))
+      case "MagnitudePercentageRatio" =>
+        Features.MagnitudePercentageRatio(
+          d("quantile_numerator", 0.4), d("quantile_denominator", 0.05))
+      case "MedianBufferRangePercentage" =>
+        Features.MedianBufferRangePercentage(d("quantile", 0.1))
+      case "PercentDifferenceMagnitudePercentile" =>
+        Features.PercentDifferenceMagnitudePercentile(d("quantile", 0.05))
+      case "Periodogram" =>
+        val nyquist = b.get("nyquist").asText() match {
+          case "average" => Periodogram.AverageNyquist
+          case "median" => Periodogram.MedianNyquist
+          case s if s.startsWith("quantile:") =>
+            Periodogram.QuantileNyquist(s.stripPrefix("quantile:").toDouble)
+          case s if s.startsWith("fixed:") =>
+            Periodogram.FixedNyquist(s.stripPrefix("fixed:").toDouble)
+        }
+        val norm = b.get("normalization").asText() match {
+          case "psd" => Periodogram.Psd
+          case "standard" => Periodogram.Standard
+          case "model" => Periodogram.Model
+          case "log" => Periodogram.LogNorm
+        }
+        val phase = Option(b.get("phase_features"))
+          .map(a => (0 until a.size()).map(i => fromNode(a.get(i))).toSeq)
+          .getOrElse(Seq.empty)
+        PeriodogramFeature(b.get("peaks").asInt(),
+          Periodogram.GridParams(d("resolution", 10.0), d("max_freq_factor", 1.0), nyquist),
+          norm, b.get("fast").asBoolean(), phase)
+      case "Transformed" =>
+        val tr = b.get("transformer").asText() match {
+          case "identity" => Transformer.Identity
+          case "arcsinh" => Transformer.Arcsinh
+          case "ln1p" => Transformer.Ln1p
+          case "lg" => Transformer.Lg
+          case "sqrt" => Transformer.Sqrt
+          case s if s.startsWith("clipped_lg:") =>
+            Transformer.ClippedLg(s.stripPrefix("clipped_lg:").toDouble)
+        }
+        Transformed(fromNode(b.get("feature")), tr)
+      case "BazinFit" =>
+        CurveFitFeature(NonlinearFit.BazinModel, b.get("niterations").asInt(),
+          b.get("seed").asLong())
+      case "VillarFit" =>
+        CurveFitFeature(NonlinearFit.VillarModel, b.get("niterations").asInt(),
+          b.get("seed").asLong())
+      case "LinexpFit" =>
+        CurveFitFeature(NonlinearFit.LinexpModel, b.get("niterations").asInt(),
+          b.get("seed").asLong())
+      case "Bins" =>
+        val arr = b.get("features")
+        BinsFeature((0 until arr.size()).map(i => fromNode(arr.get(i))).toSeq,
+          d("window", 1.0), d("offset", 0.0))
+      case simple => simpleByName.getOrElse(simple,
+        throw new IllegalArgumentException(s"unknown feature: $simple"))
+    }
+  }
+
+  private val simpleByName: Map[String, Feature] = {
+    import Features._
+    Seq(Amplitude, AndersonDarlingNormal, Chi2Pvar, Cusum, Duration, Eta, EtaE,
+      ExcessVariance, Kurtosis, LaflerKinmanStringLength, LinearFit, LinearTrend,
+      MaximumSlope, MaximumTimeInterval, MinimumTimeInterval, Mean, MeanVariance,
+      Median, MedianAbsoluteDeviation, ObservationCount, OtsuSplit,
+      PercentAmplitude, ReducedChi2, Roms, Skew, StandardDeviation, StetsonK,
+      TimeMean, TimeStandardDeviation, WeightedMean)
+      .map(f => f.getClass.getSimpleName.stripSuffix("$") -> (f: Feature)).toMap
+  }
+}

@@ -18,7 +18,8 @@ class ContractSpec extends AnyFunSuite {
       Transformed(Features.Amplitude, Transformer.Ln1p),
       Transformed(Features.Mean, Transformer.Arcsinh),
       CurveFitFeature(NonlinearFit.BazinModel, nIterations = 16),
-      CurveFitFeature(NonlinearFit.LinexpModel, nIterations = 16))
+      CurveFitFeature(NonlinearFit.LinexpModel, nIterations = 16),
+      BinsFeature(Seq(Features.Mean, Features.Amplitude), window = 5.0))
 
   /** Seeded random series, N = 128 (tests.rs:66 pattern). */
   private def randomLc(n: Int = 128): LightCurve = {

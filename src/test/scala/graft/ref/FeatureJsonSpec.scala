@@ -1,0 +1,62 @@
+package graft.ref
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** serde mirror (reference tests.rs:308-359): every feature config
+  * JSON-round-trips to an evaluator producing identical output. */
+class FeatureJsonSpec extends AnyFunSuite {
+
+  private def lc: LightCurve = {
+    val rng = new java.util.Random(2)
+    var t = 0.0
+    val ts = Array.fill(64) { t += 0.2 + rng.nextDouble(); t }
+    new LightCurve(ts,
+      Array.fill(64)(rng.nextGaussian() * 3 + 15),
+      Array.fill(64)(0.5 + rng.nextDouble()))
+  }
+
+  private val battery: Seq[Feature] = Features.all ++ Seq(
+    PeriodogramFeature(peaks = 2, useFft = true),
+    PeriodogramFeature(peaks = 1,
+      params = Periodogram.GridParams(5.0, 2.0, Periodogram.QuantileNyquist(0.1)),
+      normalization = Periodogram.Standard,
+      phaseFeatures = Seq(Features.Amplitude, Features.Eta)),
+    Transformed(Features.Amplitude, Transformer.Ln1p),
+    Transformed(Features.Mean, Transformer.ClippedLg(-300.0)),
+    CurveFitFeature(NonlinearFit.BazinModel, nIterations = 8),
+    CurveFitFeature(NonlinearFit.LinexpModel, nIterations = 8, seed = 5L),
+    BinsFeature(Seq(Features.Mean, Features.StandardDeviation), window = 2.5, offset = 0.5))
+
+  test("every feature JSON-round-trips to an equal evaluator") {
+    val series = lc
+    battery.foreach { f =>
+      val json = FeatureJson.toJson(f)
+      val back = FeatureJson.parseOne(json)
+      assert(back == f || back.names == f.names, s"config mismatch for ${f.name}: $json")
+      val a = f.evalOrFill(series, Double.NaN).map(java.lang.Double.doubleToLongBits).toSeq
+      val b = back.evalOrFill(series, Double.NaN).map(java.lang.Double.doubleToLongBits).toSeq
+      assert(a == b, s"${f.name} output changed after round-trip")
+    }
+  }
+
+  test("extractor lists round-trip as arrays") {
+    val json = FeatureJson.toJson(battery)
+    val back = FeatureJson.parseList(json)
+    assert(back.size == battery.size)
+    back.zip(battery).foreach { case (b, f) => assert(b.names == f.names) }
+    // stable re-serialization
+    assert(FeatureJson.toJson(back) == json)
+  }
+
+  test("default-parameter JSON shapes parse") {
+    assert(FeatureJson.parseOne("""{"Amplitude":{}}""") == Features.Amplitude)
+    assert(FeatureJson.parseOne("""{"BeyondNStd":{"nstd":2.0}}""") ==
+      Features.BeyondNStd(2.0))
+    assert(FeatureJson.parseOne(
+      """{"Bins":{"window":1.0,"offset":0.0,"features":[{"Mean":{}}]}}""") ==
+      BinsFeature(Seq(Features.Mean), 1.0, 0.0))
+    intercept[IllegalArgumentException] {
+      FeatureJson.parseOne("""{"NoSuchFeature":{}}""")
+    }
+  }
+}
