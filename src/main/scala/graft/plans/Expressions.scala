@@ -1,0 +1,95 @@
+package graft.plans
+
+import graft.ref.LightCurve
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/**
+ * Native Catalyst expressions for the kernels Spark lacks — the
+ * custom-Expression tier of the operator preference order (faster
+ * than a Scala UDF: no encoder boundary, participates in whole-stage
+ * codegen; SURVEY.md §4 "custom Expression" row).
+ */
+
+/** `ln(erfc(x))` — the Anderson-Darling inner transcendental
+  * (reference lnerfc.rs); full codegen via a static call. */
+case class LnErfcExpression(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ln_erfc expects DOUBLE, got ${child.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    graft.ref.LnErfc(input.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ref.LnErfc$$.MODULE$$.apply($c)")
+  override protected def withNewChildInternal(newChild: Expression): LnErfcExpression =
+    copy(child = newChild)
+  override def prettyName: String = "ln_erfc"
+}
+
+/** Exact R-5 quantile (`h = n q - 0.5`, linear interpolation —
+  * reference sorted_array.rs:50-70) over a pre-sorted double array;
+  * none of Spark's percentile builtins implement this convention. */
+case class R5PpfExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] &&
+        left.dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
+        right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"r5_ppf expects (ARRAY<DOUBLE>, DOUBLE), got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(arr: Any, q: Any): Any =
+    LightCurve.ppf(arr.asInstanceOf[ArrayData].toDoubleArray(), q.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, q) =>
+      s"graft.ref.LightCurve$$.MODULE$$.ppf($a.toDoubleArray(), $q)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): R5PpfExpression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "r5_ppf"
+}
+
+/** Injects the native expressions into a session's function registry —
+  * usable via `spark.sql.extensions=graft.plans.GraftExtensions` or
+  * [[GraftExtensions.register]] on a live session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.lnErfcFn)
+    ext.injectFunction(GraftExtensions.r5PpfFn)
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.plans", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private[plans] val lnErfcFn =
+    (FunctionIdentifier("ln_erfc"),
+      info("ln_erfc", "ln_erfc(x) - natural log of the complementary error function"),
+      (args: Seq[Expression]) => LnErfcExpression(args.head))
+
+  private[plans] val r5PpfFn =
+    (FunctionIdentifier("r5_ppf"),
+      info("r5_ppf", "r5_ppf(sorted_array, q) - exact R-5 quantile"),
+      (args: Seq[Expression]) => R5PpfExpression(args.head,
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1), DoubleType)))
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("ln_erfc",
+      args => LnErfcExpression(args.head), "scala_udf")
+    registry.createOrReplaceTempFunction("r5_ppf",
+      args => R5PpfExpression(args.head,
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1), DoubleType)), "scala_udf")
+  }
+}

@@ -426,6 +426,35 @@ object EventQueries {
         "otsu_mean_diff", "otsu_std_lower", "otsu_std_upper",
         "otsu_lower_to_all_ratio"))
 
+  /** Same R-5 quantile battery through the NATIVE Catalyst expression
+    * ([[graft.plans.R5PpfExpression]], codegen'd — no UDF boundary)
+    * instead of the collected-buffer port: proves the custom
+    * Expression against the DuckDB oracle on real data. */
+  private def qQuantilesNative(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    pts(s, dir).groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("m"))).as("arr"),
+        count(lit(1)).as("n_obs"), min(col("m")).as("mn"), max(col("m")).as("mx"))
+      .filter(col("n_obs") >= 2 && col("mn") < col("mx"))
+      .selectExpr("user_id",
+        s"round(r5_ppf(arr, 0.5) + $JitterSql, $R) AS median",
+        s"round(r5_ppf(arr, 0.75) - r5_ppf(arr, 0.25) + $JitterSql, $R) AS inter_percentile_range",
+        s"round((r5_ppf(arr, 0.95) - r5_ppf(arr, 0.05)) / r5_ppf(arr, 0.5) + $JitterSql, $R) AS percent_difference_magnitude_percentile",
+        s"round((r5_ppf(arr, 0.6) - r5_ppf(arr, 0.4)) / (r5_ppf(arr, 0.95) - r5_ppf(arr, 0.05)) + $JitterSql, $R) AS magnitude_percentage_ratio")
+      .orderBy(col("user_id"))
+  }
+
+  private val sqlQuantilesNative =
+    s"""WITH p AS ($PTS),
+       | g AS (SELECT user_id, list_sort(list(m)) AS arr, count(*) AS n
+       |       FROM p GROUP BY user_id HAVING $Guard2)
+       |SELECT user_id,
+       | round(${r5Sql("arr", "n", "0.5")} + $JitterSql, $R) AS median,
+       | round(${r5Sql("arr", "n", "0.75")} - ${r5Sql("arr", "n", "0.25")} + $JitterSql, $R) AS inter_percentile_range,
+       | round((${r5Sql("arr", "n", "0.95")} - ${r5Sql("arr", "n", "0.05")}) / ${r5Sql("arr", "n", "0.5")} + $JitterSql, $R) AS percent_difference_magnitude_percentile,
+       | round((${r5Sql("arr", "n", "0.6")} - ${r5Sql("arr", "n", "0.4")}) / (${r5Sql("arr", "n", "0.95")} - ${r5Sql("arr", "n", "0.05")}) + $JitterSql, $R) AS magnitude_percentage_ratio
+       |FROM g ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------
   // Rollup / tier queries (the engine core)
   // ---------------------------------------------------------------
@@ -558,6 +587,7 @@ object EventQueries {
     "q_cusum" -> qCusum _,
     "q_lafler_kinman" -> qLaflerKinman _,
     "q_quantiles" -> qQuantiles _,
+    "q_quantiles_native" -> qQuantilesNative _,
     "q_moments" -> qMoments _,
     "q_linear_fits" -> qLinearFits _,
     "q_stetson_roms" -> qStetsonRoms _,
@@ -578,6 +608,7 @@ object EventQueries {
     "q_cusum" -> sqlCusum,
     "q_lafler_kinman" -> sqlLaflerKinman,
     "q_quantiles" -> sqlQuantiles,
+    "q_quantiles_native" -> sqlQuantilesNative,
     "q_moments" -> sqlMoments,
     "q_linear_fits" -> sqlLinearFits,
     "q_stetson_roms" -> sqlStetsonRoms,
