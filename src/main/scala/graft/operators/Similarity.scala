@@ -46,6 +46,97 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
   }
 
+  // ---------------- IVF (inverted-file) ANN ----------------
+
+  /**
+   * Deterministic k-means coarse quantizer trained distributed:
+   * centroids init from evenly-strided vectors (seeded, order-stable),
+   * then `iters` Lloyd rounds — each round is one groupBy(cell) over
+   * the data with the (tiny) centroid table broadcast in the closure.
+   * Returns the centroid matrix.
+   */
+  def trainIvfCentroids(df: DataFrame, k: Int, iters: Int = 3): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col("id"), asDouble(col("vec")).as("v"))
+    val n = vecs.count()
+    val stride = math.max(n / k, 1L)
+    // deterministic init: every stride-th vector by id order
+    var centroids = vecs.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+      .filter((col("rk") - 1) % stride === 0)
+      .limit(k)
+      .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+    for (_ <- 1 to iters) {
+      val cb = centroids // stable snapshot for the closure
+      val assignU = udf((v: Seq[Double]) => nearestCentroid(v.toArray, cb)._1)
+      val updated = vecs.withColumn("cell", assignU(col("v")))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until centroids(0).length).map(d =>
+            sum(element_at(col("v"), d + 1))): _*).as("sums"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getAs[scala.collection.Seq[Double]]("sums").map(_ / r.getLong(1)).toArray)
+        .toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** (cell index, cosine to that centroid). */
+  def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): (Int, Double) = {
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cos = cosineLocal(v, centroids(c))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    (best, bestCos)
+  }
+
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / math.sqrt(na * nb)
+  }
+
+  /** nProbe nearest cells of a vector (multi-probe IVF). */
+  def probeCells(v: Array[Double], centroids: Array[Array[Double]], nProbe: Int): Array[Int] =
+    centroids.indices.sortBy(c => -cosineLocal(v, centroids(c))).take(nProbe).toArray
+
+  /**
+   * IVF approximate top-k: candidates assigned to their nearest cell
+   * (the inverted file), queries probe their `nProbe` nearest cells.
+   * One shuffle on the cell key; per-cell candidate lists are ~n/k,
+   * so cost scales with nProbe * n / k instead of n per query — the
+   * named alternative scale path to hyperplane LSH.
+   */
+  def ivfTopK(df: DataFrame, k: Int, nCells: Int, nProbe: Int = 2,
+      iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = trainIvfCentroids(df, nCells, iters)
+    val assignU = udf((v: Seq[Double]) => nearestCentroid(v.toArray, centroids)._1)
+    val probeU = udf((v: Seq[Double]) => probeCells(v.toArray, centroids, nProbe))
+    val base = df.select(col("id"), asDouble(col("vec")).as("v"))
+    val inverted = base.select(assignU(col("v")).as("cell"),
+      col("id").as("cand_id"), col("v").as("cv"))
+    val queries = base.select(col("id").as("query_id"), col("v").as("qv"),
+        explode(probeU(col("v"))).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    queries.join(inverted, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * +-1 from the splitmix64 mix of a fixed seed. */
   private def planeComponent(seed: Long, plane: Int, dim: Int): Double =

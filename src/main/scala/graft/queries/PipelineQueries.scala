@@ -167,6 +167,16 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN (inverted file over a deterministic k-means coarse
+    * quantizer, multi-probe) — the second named scale path. */
+  private def qEmbedIvf(s: SparkSession, dir: String): DataFrame = {
+    val all = embeds(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfTopK(all, k = 3, nCells = 16, nProbe = 2)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------------- language ID (rows-only + PipelineSpec) ----------------
 
   private def qLangId(s: SparkSession, dir: String): DataFrame =
@@ -205,6 +215,7 @@ object PipelineQueries {
     "q_docs_langid" -> qLangId _,
     "q_embed_topk" -> qEmbedTopK _,
     "q_embed_ann_lsh" -> qEmbedAnnLsh _,
+    "q_embed_ivf" -> qEmbedIvf _,
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _)
 

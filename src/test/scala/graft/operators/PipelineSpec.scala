@@ -96,6 +96,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.35, s"recall@5 $recall")
   }
 
+  test("IVF ANN: deterministic centroids, exact cosines, recall beats single-cell") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // deterministic training
+    val c1 = Similarity.trainIvfCentroids(all, 8)
+    val c2 = Similarity.trainIvfCentroids(all, 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(c1.length == 8 && c1.head.length == 64)
+
+    val brute = Similarity.bruteForceTopK(all.filter(col("id") < 50), all, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val bruteMap = brute.map(t => (t._1, t._2) -> t._3).toMap
+    val bruteTop = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    def recallOf(nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(all, k = 5, nCells = 8, nProbe = nProbe)
+        .filter(col("query_id") < 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // cosines agree exactly with the brute path for shared pairs
+      ivf.foreach { case (q, c, cos) =>
+        bruteMap.get((q, c)).foreach(bc => assert(math.abs(bc - cos) < 1e-12))
+      }
+      val ivfTop = ivf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = bruteTop.collect { case (q, bs) if ivfTop.contains(q) =>
+        (bs & ivfTop(q)).size.toDouble / bs.size
+      }
+      rs.sum / rs.size
+    }
+    val r1 = recallOf(1)
+    val r4 = recallOf(4)
+    assert(r4 >= r1, s"multi-probe must not lose recall: $r1 -> $r4")
+    assert(r4 > 0.5, s"recall@5 with 4/8 cells probed: $r4")
+  }
+
   test("fingerprint is word-order and repetition invariant") {
     import spark.implicits._
     val df = Seq(
