@@ -70,7 +70,7 @@ object Bench {
     // sized so the low-parallelism tier build runs ~30s+ — short runs
     // are fixed-overhead-bound (job barriers, commit protocol, task
     // tails) and can't evidence scaling
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "400000").toLong
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "320000").toLong
     val lowCpus = math.max(cpus / 4, 1)
 
     // ---- phase 1: driver query battery ----
