@@ -94,13 +94,13 @@ object EventQueries {
   private val sqlSimpleStats =
     s"""WITH p AS ($PTS)
        |SELECT user_id, count(*) AS n_obs,
-       | round(avg(m) + $JitterSql, $R) AS mean,
-       | round((max(m) - min(m)) / 2 + $JitterSql, $R) AS amplitude,
-       | round(stddev_samp(m) + $JitterSql, $R) AS std,
-       | round(stddev_samp(m) / avg(m) + $JitterSql, $R) AS mean_variance,
-       | round(max(t) - min(t) + $JitterSql, $R) AS duration,
-       | round(avg(t) + $JitterSql, $R) AS time_mean,
-       | round(stddev_samp(t) + $JitterSql, $R) AS time_std
+       | round(avg(m) + $JitterSql, $R) + 0 AS mean,
+       | round((max(m) - min(m)) / 2 + $JitterSql, $R) + 0 AS amplitude,
+       | round(stddev_samp(m) + $JitterSql, $R) + 0 AS std,
+       | round(stddev_samp(m) / avg(m) + $JitterSql, $R) + 0 AS mean_variance,
+       | round(max(t) - min(t) + $JitterSql, $R) + 0 AS duration,
+       | round(avg(t) + $JitterSql, $R) + 0 AS time_mean,
+       | round(stddev_samp(t) + $JitterSql, $R) + 0 AS time_std
        |FROM p GROUP BY user_id HAVING count(*) >= 2 ORDER BY user_id""".stripMargin
 
   private def qWeighted(s: SparkSession, dir: String): DataFrame =
@@ -116,9 +116,9 @@ object EventQueries {
   private val sqlWeighted =
     s"""WITH p AS ($PTS)
        |SELECT user_id,
-       | round(sum(m*w)/sum(w) + $JitterSql, $R) AS weighted_mean,
-       | round((sum(w*m*m) - sum(m*w)*sum(m*w)/sum(w)) / (count(*) - 1) + $JitterSql, $R) AS reduced_chi2,
-       | round((var_samp(m) - avg(1.0/w)) / (avg(m)*avg(m)) + $JitterSql, $R) AS excess_variance
+       | round(sum(m*w)/sum(w) + $JitterSql, $R) + 0 AS weighted_mean,
+       | round((sum(w*m*m) - sum(m*w)*sum(m*w)/sum(w)) / (count(*) - 1) + $JitterSql, $R) + 0 AS reduced_chi2,
+       | round((var_samp(m) - avg(1.0/w)) / (avg(m)*avg(m)) + $JitterSql, $R) + 0 AS excess_variance
        |FROM p GROUP BY user_id HAVING count(*) >= 2 ORDER BY user_id""".stripMargin
 
   /** Two-pass beyond-n-std: group mean/std via window, then count. */
@@ -142,7 +142,7 @@ object EventQueries {
        | st AS (SELECT *, avg(m) OVER (PARTITION BY user_id) AS mu,
        |        stddev_samp(m) OVER (PARTITION BY user_id) AS sd FROM p)
        |SELECT user_id,
-       | round(sum(CASE WHEN abs(m - mu) > sd THEN 1.0 ELSE 0.0 END) / count(*) + $JitterSql, $R) AS beyond_1_std
+       | round(sum(CASE WHEN abs(m - mu) > sd THEN 1.0 ELSE 0.0 END) / count(*) + $JitterSql, $R) + 0 AS beyond_1_std
        |FROM st GROUP BY user_id HAVING count(*) >= 2 ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
@@ -169,7 +169,7 @@ object EventQueries {
     s"""WITH p AS ($PTS),
        | d AS (SELECT *, m - lag(m) OVER (PARTITION BY user_id ORDER BY t, idx) AS dm FROM p)
        |SELECT user_id,
-       | round(sum(dm*dm) / ((count(*) - 1) * var_samp(m)) + $JitterSql, $R) AS eta
+       | round(sum(dm*dm) / ((count(*) - 1) * var_samp(m)) + $JitterSql, $R) + 0 AS eta
        |FROM d GROUP BY user_id HAVING $Guard2 ORDER BY user_id""".stripMargin
 
   private def qEtaE(s: SparkSession, dir: String): DataFrame =
@@ -189,7 +189,7 @@ object EventQueries {
        |        t - lag(t) OVER (PARTITION BY user_id ORDER BY t, idx) AS dt FROM p)
        |SELECT user_id,
        | round(pow(max(t) - min(t), 2) * sum(CASE WHEN dt <> 0 THEN pow(dm/dt, 2) END)
-       |   / var_samp(m) / pow(count(*) - 1, 3) + $JitterSql, $R) AS eta_e
+       |   / var_samp(m) / pow(count(*) - 1, 3) + $JitterSql, $R) + 0 AS eta_e
        |FROM d GROUP BY user_id HAVING $Guard2 ORDER BY user_id""".stripMargin
 
   private def qSlopesIntervals(s: SparkSession, dir: String): DataFrame =
@@ -207,9 +207,9 @@ object EventQueries {
        | d AS (SELECT *, m - lag(m) OVER (PARTITION BY user_id ORDER BY t, idx) AS dm,
        |        t - lag(t) OVER (PARTITION BY user_id ORDER BY t, idx) AS dt FROM p)
        |SELECT user_id,
-       | round(max(CASE WHEN dt <> 0 THEN abs(dm/dt) END) + $JitterSql, $R) AS maximum_slope,
-       | round(max(dt) + $JitterSql, $R) AS maximum_time_interval,
-       | round(min(dt) + $JitterSql, $R) AS minimum_time_interval
+       | round(max(CASE WHEN dt <> 0 THEN abs(dm/dt) END) + $JitterSql, $R) + 0 AS maximum_slope,
+       | round(max(dt) + $JitterSql, $R) + 0 AS maximum_time_interval,
+       | round(min(dt) + $JitterSql, $R) + 0 AS minimum_time_interval
        |FROM d GROUP BY user_id HAVING count(*) >= 2 ORDER BY user_id""".stripMargin
 
   private def qCusum(s: SparkSession, dir: String): DataFrame = {
@@ -236,7 +236,7 @@ object EventQueries {
        | c AS (SELECT *, sum(m - mu) OVER (PARTITION BY user_id ORDER BY t, idx
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs FROM st)
        |SELECT user_id,
-       | round((max(cs) - min(cs)) / (stddev_samp(m) * count(*)) + $JitterSql, $R) AS cusum
+       | round((max(cs) - min(cs)) / (stddev_samp(m) * count(*)) + $JitterSql, $R) + 0 AS cusum
        |FROM c GROUP BY user_id HAVING $Guard2 ORDER BY user_id""".stripMargin
 
   private def qLaflerKinman(s: SparkSession, dir: String): DataFrame = {
@@ -266,7 +266,7 @@ object EventQueries {
        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS wrap
        |  FROM p)
        |SELECT user_id,
-       | round((sum(dm*dm) + any_value(wrap*wrap)) / (2 * var_samp(m) * (count(*) - 1)) + $JitterSql, $R)
+       | round((sum(dm*dm) + any_value(wrap*wrap)) / (2 * var_samp(m) * (count(*) - 1)) + $JitterSql, $R) + 0
        |   AS lafler_kinman_string_length
        |FROM d GROUP BY user_id HAVING $Guard2 ORDER BY user_id""".stripMargin
 
@@ -315,13 +315,13 @@ object EventQueries {
        |         len(list_filter(arr, x -> abs(x - med) < 0.1 * (mx - mn) / 2)) AS n_under
        |        FROM q)
        |SELECT user_id,
-       | round(med + $JitterSql, $R) AS median,
-       | round(q75 - q25 + $JitterSql, $R) AS inter_percentile_range,
-       | round(${r5Sql("dev", "n", "0.5")} + $JitterSql, $R) AS median_absolute_deviation,
-       | round(CASE WHEN mx - med > med - mn THEN mx - med ELSE med - mn END + $JitterSql, $R) AS percent_amplitude,
-       | round(CAST(n_under AS DOUBLE) / n + $JitterSql, $R) AS median_buffer_range_percentage,
-       | round((q95 - q05) / med + $JitterSql, $R) AS percent_difference_magnitude_percentile,
-       | round((q60 - q40) / (q95 - q05) + $JitterSql, $R) AS magnitude_percentage_ratio
+       | round(med + $JitterSql, $R) + 0 AS median,
+       | round(q75 - q25 + $JitterSql, $R) + 0 AS inter_percentile_range,
+       | round(${r5Sql("dev", "n", "0.5")} + $JitterSql, $R) + 0 AS median_absolute_deviation,
+       | round(CASE WHEN mx - med > med - mn THEN mx - med ELSE med - mn END + $JitterSql, $R) + 0 AS percent_amplitude,
+       | round(CAST(n_under AS DOUBLE) / n + $JitterSql, $R) + 0 AS median_buffer_range_percentage,
+       | round((q95 - q05) / med + $JitterSql, $R) + 0 AS percent_difference_magnitude_percentile,
+       | round((q60 - q40) / (q95 - q05) + $JitterSql, $R) + 0 AS magnitude_percentage_ratio
        |FROM q2 ORDER BY user_id""".stripMargin
   }
 
@@ -353,9 +353,9 @@ object EventQueries {
        |       FROM st GROUP BY user_id
        |       HAVING count(*) >= 4 AND min(m) < max(m))
        |SELECT user_id,
-       | round(m3 / pow(sd, 3) * n / ((n - 1.0) * (n - 2.0)) + $JitterSql, $R) AS skew,
+       | round(m3 / pow(sd, 3) * n / ((n - 1.0) * (n - 2.0)) + $JitterSql, $R) + 0 AS skew,
        | round(m4 / (s2*s2) * n * (n + 1.0) / ((n - 1.0) * (n - 2.0) * (n - 3.0))
-       |   - 3.0 * (n - 1.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0)) + $JitterSql, $R) AS kurtosis
+       |   - 3.0 * (n - 1.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0)) + $JitterSql, $R) + 0 AS kurtosis
        |FROM g ORDER BY user_id""".stripMargin
 
   private def qLinearFits(s: SparkSession, dir: String): DataFrame =
@@ -387,12 +387,12 @@ object EventQueries {
        |        any_value(slope_w) AS slope_w, any_value(sttw) AS sttw
        |       FROM p JOIN s2 ON p.user_id = s2.user_id GROUP BY p.user_id)
        |SELECT user_id,
-       | round(slope_u + $JitterSql, $R) AS linear_trend,
-       | round(sqrt(rchi2_u / sttu) + $JitterSql, $R) AS linear_trend_sigma,
-       | round(sqrt(rchi2_u) + $JitterSql, $R) AS linear_trend_noise,
-       | round(slope_w + $JitterSql, $R) AS linear_fit_slope,
-       | round(sqrt(1.0 / sttw) + $JitterSql, $R) AS linear_fit_slope_sigma,
-       | round(rchi2_w + $JitterSql, $R) AS linear_fit_reduced_chi2
+       | round(slope_u + $JitterSql, $R) + 0 AS linear_trend,
+       | round(sqrt(rchi2_u / sttu) + $JitterSql, $R) + 0 AS linear_trend_sigma,
+       | round(sqrt(rchi2_u) + $JitterSql, $R) + 0 AS linear_trend_noise,
+       | round(slope_w + $JitterSql, $R) + 0 AS linear_fit_slope,
+       | round(sqrt(1.0 / sttw) + $JitterSql, $R) + 0 AS linear_fit_slope_sigma,
+       | round(rchi2_w + $JitterSql, $R) + 0 AS linear_fit_reduced_chi2
        |FROM c ORDER BY user_id""".stripMargin
 
   private def qStetsonRoms(s: SparkSession, dir: String): DataFrame =
@@ -411,7 +411,7 @@ object EventQueries {
        |        sum(abs(m - wm) * sqrt(w)) / sqrt(any_value(n) * sum(w * pow(m - wm, 2))) AS stetson_k,
        |        sum(abs(m - med) * sqrt(w)) / (any_value(n) - 1.0) AS roms
        |       FROM p JOIN g2 ON p.user_id = g2.user_id GROUP BY p.user_id)
-       |SELECT user_id, round(stetson_k + $JitterSql, $R) AS stetson_k, round(roms + $JitterSql, $R) AS roms
+       |SELECT user_id, round(stetson_k + $JitterSql, $R) + 0 AS stetson_k, round(roms + $JitterSql, $R) + 0 AS roms
        |FROM f ORDER BY user_id""".stripMargin
   }
 
@@ -437,10 +437,10 @@ object EventQueries {
         count(lit(1)).as("n_obs"), min(col("m")).as("mn"), max(col("m")).as("mx"))
       .filter(col("n_obs") >= 2 && col("mn") < col("mx"))
       .selectExpr("user_id",
-        s"round(r5_ppf(arr, 0.5) + $JitterSql, $R) AS median",
-        s"round(r5_ppf(arr, 0.75) - r5_ppf(arr, 0.25) + $JitterSql, $R) AS inter_percentile_range",
-        s"round((r5_ppf(arr, 0.95) - r5_ppf(arr, 0.05)) / r5_ppf(arr, 0.5) + $JitterSql, $R) AS percent_difference_magnitude_percentile",
-        s"round((r5_ppf(arr, 0.6) - r5_ppf(arr, 0.4)) / (r5_ppf(arr, 0.95) - r5_ppf(arr, 0.05)) + $JitterSql, $R) AS magnitude_percentage_ratio")
+        s"round(r5_ppf(arr, 0.5) + $JitterSql, $R) + 0 AS median",
+        s"round(r5_ppf(arr, 0.75) - r5_ppf(arr, 0.25) + $JitterSql, $R) + 0 AS inter_percentile_range",
+        s"round((r5_ppf(arr, 0.95) - r5_ppf(arr, 0.05)) / r5_ppf(arr, 0.5) + $JitterSql, $R) + 0 AS percent_difference_magnitude_percentile",
+        s"round((r5_ppf(arr, 0.6) - r5_ppf(arr, 0.4)) / (r5_ppf(arr, 0.95) - r5_ppf(arr, 0.05)) + $JitterSql, $R) + 0 AS magnitude_percentage_ratio")
       .orderBy(col("user_id"))
   }
 
@@ -449,10 +449,10 @@ object EventQueries {
        | g AS (SELECT user_id, list_sort(list(m)) AS arr, count(*) AS n
        |       FROM p GROUP BY user_id HAVING $Guard2)
        |SELECT user_id,
-       | round(${r5Sql("arr", "n", "0.5")} + $JitterSql, $R) AS median,
-       | round(${r5Sql("arr", "n", "0.75")} - ${r5Sql("arr", "n", "0.25")} + $JitterSql, $R) AS inter_percentile_range,
-       | round((${r5Sql("arr", "n", "0.95")} - ${r5Sql("arr", "n", "0.05")}) / ${r5Sql("arr", "n", "0.5")} + $JitterSql, $R) AS percent_difference_magnitude_percentile,
-       | round((${r5Sql("arr", "n", "0.6")} - ${r5Sql("arr", "n", "0.4")}) / (${r5Sql("arr", "n", "0.95")} - ${r5Sql("arr", "n", "0.05")}) + $JitterSql, $R) AS magnitude_percentage_ratio
+       | round(${r5Sql("arr", "n", "0.5")} + $JitterSql, $R) + 0 AS median,
+       | round(${r5Sql("arr", "n", "0.75")} - ${r5Sql("arr", "n", "0.25")} + $JitterSql, $R) + 0 AS inter_percentile_range,
+       | round((${r5Sql("arr", "n", "0.95")} - ${r5Sql("arr", "n", "0.05")}) / ${r5Sql("arr", "n", "0.5")} + $JitterSql, $R) + 0 AS percent_difference_magnitude_percentile,
+       | round((${r5Sql("arr", "n", "0.6")} - ${r5Sql("arr", "n", "0.4")}) / (${r5Sql("arr", "n", "0.95")} - ${r5Sql("arr", "n", "0.05")}) + $JitterSql, $R) + 0 AS magnitude_percentage_ratio
        |FROM g ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
@@ -473,9 +473,9 @@ object EventQueries {
   private val sqlTier1m =
     s"""WITH p AS ($PTS)
        |SELECT user_id, CAST(floor(t / 60) AS BIGINT) AS bucket, count(*) AS n_pts,
-       | round((floor(t / 60) + 0.5) * 60 + $JitterSql, $R) AS bucket_t,
-       | round(sum(m*w)/sum(w) + $JitterSql, $R) AS bin_m,
-       | round(sum(w)/count(*) + $JitterSql, $R) AS bin_w
+       | round((floor(t / 60) + 0.5) * 60 + $JitterSql, $R) + 0 AS bucket_t,
+       | round(sum(m*w)/sum(w) + $JitterSql, $R) + 0 AS bin_m,
+       | round(sum(w)/count(*) + $JitterSql, $R) + 0 AS bin_w
        |FROM p GROUP BY user_id, floor(t / 60) ORDER BY user_id, bucket""".stripMargin
 
   /** 1h tier rebuilt from 1m partial sums — the cascade carries
@@ -498,9 +498,9 @@ object EventQueries {
   private val sqlTierCascade1h =
     s"""WITH p AS ($PTS)
        |SELECT user_id, CAST(floor(floor(t / 60) / 60) AS BIGINT) AS bucket, count(*) AS n_pts,
-       | round((floor(floor(t / 60) / 60) + 0.5) * 3600 + $JitterSql, $R) AS bucket_t,
-       | round(sum(m*w)/sum(w) + $JitterSql, $R) AS bin_m,
-       | round(sum(w)/count(*) + $JitterSql, $R) AS bin_w
+       | round((floor(floor(t / 60) / 60) + 0.5) * 3600 + $JitterSql, $R) + 0 AS bucket_t,
+       | round(sum(m*w)/sum(w) + $JitterSql, $R) + 0 AS bin_m,
+       | round(sum(w)/count(*) + $JitterSql, $R) + 0 AS bin_w
        |FROM p GROUP BY user_id, floor(floor(t / 60) / 60) ORDER BY user_id, bucket""".stripMargin
 
   /** Gap-fill the 1h tier: dense hourly buckets per user via
@@ -535,7 +535,7 @@ object EventQueries {
        |SELECT user_id, bucket,
        | CASE WHEN hour_mean IS NULL THEN 1 ELSE 0 END AS is_gap,
        | round(last_value(hour_mean IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
-       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + $JitterSql, $R) AS hour_mean_locf
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + $JitterSql, $R) + 0 AS hour_mean_locf
        |FROM j ORDER BY user_id, bucket""".stripMargin
 
   /** Reference Bins-then-features semantics: features over the 1m-binned
@@ -560,10 +560,10 @@ object EventQueries {
        |        sum(w)/count(*) AS bw
        |       FROM p GROUP BY 1, 2)
        |SELECT user_id, count(*) AS n_bins,
-       | round(avg(bm) + $JitterSql, $R) AS bins_mean,
-       | round(stddev_samp(bm) + $JitterSql, $R) AS bins_std,
-       | round((max(bm) - min(bm)) / 2 + $JitterSql, $R) AS bins_amplitude,
-       | round(sum(bm*bw)/sum(bw) + $JitterSql, $R) AS bins_weighted_mean
+       | round(avg(bm) + $JitterSql, $R) + 0 AS bins_mean,
+       | round(stddev_samp(bm) + $JitterSql, $R) + 0 AS bins_std,
+       | round((max(bm) - min(bm)) / 2 + $JitterSql, $R) + 0 AS bins_amplitude,
+       | round(sum(bm*bw)/sum(bw) + $JitterSql, $R) + 0 AS bins_weighted_mean
        |FROM b GROUP BY user_id HAVING count(*) >= 2 ORDER BY user_id""".stripMargin
 
   private def qObsCount(s: SparkSession, dir: String): DataFrame =

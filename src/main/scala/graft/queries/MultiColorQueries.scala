@@ -51,10 +51,10 @@ object MultiColorQueries {
   private val sqlPerBand =
     s"""WITH p AS ($PTS)
        |SELECT user_id, band, count(*) AS n_obs,
-       | round(avg(m) + $JitterSql, $R) AS mean,
-       | round(stddev_samp(m) + $JitterSql, $R) AS standard_deviation,
-       | round((max(m) - min(m)) / 2 + $JitterSql, $R) AS amplitude,
-       | round(sum(m*w)/sum(w) + $JitterSql, $R) AS weighted_mean
+       | round(avg(m) + $JitterSql, $R) + 0 AS mean,
+       | round(stddev_samp(m) + $JitterSql, $R) + 0 AS standard_deviation,
+       | round((max(m) - min(m)) / 2 + $JitterSql, $R) + 0 AS amplitude,
+       | round(sum(m*w)/sum(w) + $JitterSql, $R) + 0 AS weighted_mean
        |FROM p GROUP BY user_id, band HAVING count(*) >= 2
        |ORDER BY user_id, band""".stripMargin
 
@@ -88,9 +88,9 @@ object MultiColorQueries {
        |        min(m) FILTER (WHERE band = 'view') AS vmn
        |       FROM p GROUP BY user_id)
        |SELECT user_id,
-       | round(cm - vm + $JitterSql, $R) AS color_median_click_view,
-       | round(cmx - vmx + $JitterSql, $R) AS color_maximum_click_view,
-       | round(cmn - vmn + $JitterSql, $R) AS color_minimum_click_view
+       | round(cm - vm + $JitterSql, $R) + 0 AS color_median_click_view,
+       | round(cmx - vmx + $JitterSql, $R) + 0 AS color_maximum_click_view,
+       | round(cmn - vmn + $JitterSql, $R) + 0 AS color_minimum_click_view
        |FROM g WHERE cm IS NOT NULL AND vm IS NOT NULL ORDER BY user_id""".stripMargin
 
   // ---------------- ColorSpread (color_spread.rs:103-130) ----------------
@@ -110,7 +110,7 @@ object MultiColorQueries {
        | b AS (SELECT user_id, band, sum(m*w)/sum(w) AS band_wmean
        |       FROM p GROUP BY user_id, band)
        |SELECT user_id, count(*) AS n_bands,
-       | round(stddev_pop(band_wmean) + $JitterSql, $R) AS color_spread
+       | round(stddev_pop(band_wmean) + $JitterSql, $R) + 0 AS color_spread
        |FROM b GROUP BY user_id HAVING count(*) >= 2 ORDER BY user_id""".stripMargin
 
   // ---------------- MultiColorBins (multicolor_bins.rs:20-47) ----------------
@@ -132,8 +132,8 @@ object MultiColorQueries {
        | b AS (SELECT user_id, band, floor(t / 3600) AS bucket, sum(m*w)/sum(w) AS bm
        |       FROM p GROUP BY 1, 2, 3)
        |SELECT user_id, band, count(*) AS n_bins,
-       | round(avg(bm) + $JitterSql, $R) AS bins_mean,
-       | round(stddev_samp(bm) + $JitterSql, $R) AS bins_std
+       | round(avg(bm) + $JitterSql, $R) + 0 AS bins_mean,
+       | round(stddev_samp(bm) + $JitterSql, $R) + 0 AS bins_std
        |FROM b GROUP BY user_id, band HAVING count(*) >= 2
        |ORDER BY user_id, band""".stripMargin
 
@@ -164,12 +164,12 @@ object MultiColorQueries {
        |        (max(m) - min(m))/2 AS amp0, stddev_samp(m) AS std0
        |       FROM p GROUP BY user_id HAVING count(*) >= 2)
        |SELECT user_id,
-       | round(ln(mean0 + sqrt(mean0*mean0 + 1)) + $JitterSql, $R) AS arcsinh_mean,
-       | round(ln(1 + amp0) + $JitterSql, $R) AS ln1p_amplitude,
+       | round(ln(mean0 + sqrt(mean0*mean0 + 1)) + $JitterSql, $R) + 0 AS arcsinh_mean,
+       | round(ln(1 + amp0) + $JitterSql, $R) + 0 AS ln1p_amplitude,
        | round(CASE WHEN amp0 < 2.2250738585072014e-308
        |        THEN ${graft.ref.Transformer.ClippedLgZero}
-       |        ELSE log10(amp0) END + $JitterSql, $R) AS clipped_lg_amplitude,
-       | round(sqrt(std0) + $JitterSql, $R) AS sqrt_standard_deviation
+       |        ELSE log10(amp0) END + $JitterSql, $R) + 0 AS clipped_lg_amplitude,
+       | round(sqrt(std0) + $JitterSql, $R) + 0 AS sqrt_standard_deviation
        |FROM g ORDER BY user_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

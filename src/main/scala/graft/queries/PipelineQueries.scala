@@ -53,11 +53,11 @@ object PipelineQueries {
        |        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
        |       FROM g)
        |SELECT doc_id, nt AS n_tokens, nd AS n_distinct_tokens,
-       | round(atl + $JitterSql, $R) AS avg_token_len,
-       | round(swr + $JitterSql, $R) AS stopword_ratio,
-       | round(CAST(nd AS DOUBLE)/nt + $JitterSql, $R) AS type_token_ratio,
+       | round(atl + $JitterSql, $R) + 0 AS avg_token_len,
+       | round(swr + $JitterSql, $R) + 0 AS stopword_ratio,
+       | round(CAST(nd AS DOUBLE)/nt + $JitterSql, $R) + 0 AS type_token_ratio,
        | round(0.25*least(nt/50.0, 1.0) + 0.25*(CAST(nd AS DOUBLE)/nt)
-       |   + 0.25*(1.0 - swr) + 0.25*least(atl/8.0, 1.0) + $JitterSql, $R) AS quality_score,
+       |   + 0.25*(1.0 - swr) + 0.25*least(atl/8.0, 1.0) + $JitterSql, $R) + 0 AS quality_score,
        | fp AS fingerprint
        |FROM t ORDER BY doc_id""".stripMargin
   }
@@ -113,8 +113,8 @@ object PipelineQueries {
        |              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
        |           FROM sh a JOIN sh b
        |             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-       |SELECT lang, source, id_a, id_b, round(j + $JitterSql, $R) AS jaccard
-       |FROM pairs WHERE round(j + $JitterSql, $R) >= 0.02 ORDER BY id_a, id_b""".stripMargin
+       |SELECT lang, source, id_a, id_b, round(j + $JitterSql, $R) + 0 AS jaccard
+       |FROM pairs WHERE round(j + $JitterSql, $R) + 0 >= 0.02 ORDER BY id_a, id_b""".stripMargin
 
   // ---------------- MinHash + LSH (rows-only + PipelineSpec) ----------------
 
@@ -156,7 +156,7 @@ object PipelineQueries {
        |             row_number() OVER (PARTITION BY query_id
        |               ORDER BY cos DESC, cand_id) AS rank
        |            FROM scored)
-       |SELECT query_id, cand_id, round(cos + $JitterSql, $R) AS cosine, rank
+       |SELECT query_id, cand_id, round(cos + $JitterSql, $R) + 0 AS cosine, rank
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private def qEmbedAnnLsh(s: SparkSession, dir: String): DataFrame = {

@@ -48,12 +48,12 @@ object TranscriptQueries {
   private val sqlTier1m =
     s"""WITH p AS ($SERIES)
        |SELECT conv_id, CAST(floor(t / 60) AS BIGINT) AS bucket,
-       | round((floor(t / 60) + 0.5) * 60 + $JitterSql, $R) AS bucket_t,
+       | round((floor(t / 60) + 0.5) * 60 + $JitterSql, $R) + 0 AS bucket_t,
        | count(*) AS n,
-       | round(sum(w) + $JitterSql, $R) AS sum_w,
-       | round(sum(m*w) + $JitterSql, $R) AS sum_mw,
-       | round(sum(m*w)/sum(w) + $JitterSql, $R) AS bin_m,
-       | round(sum(w)/count(*) + $JitterSql, $R) AS bin_w
+       | round(sum(w) + $JitterSql, $R) + 0 AS sum_w,
+       | round(sum(m*w) + $JitterSql, $R) + 0 AS sum_mw,
+       | round(sum(m*w)/sum(w) + $JitterSql, $R) + 0 AS bin_m,
+       | round(sum(w)/count(*) + $JitterSql, $R) + 0 AS bin_w
        |FROM p GROUP BY conv_id, floor(t / 60) ORDER BY conv_id, bucket""".stripMargin
 
   /** 1h tier built THROUGH the cascade (1m -> 1h); the oracle groups
@@ -69,8 +69,8 @@ object TranscriptQueries {
   private val sqlTier1h =
     s"""WITH p AS ($SERIES)
        |SELECT conv_id, CAST(floor(t / 3600) AS BIGINT) AS bucket, count(*) AS n,
-       | round(sum(m*w)/sum(w) + $JitterSql, $R) AS bin_m,
-       | round(sum(w)/count(*) + $JitterSql, $R) AS bin_w
+       | round(sum(m*w)/sum(w) + $JitterSql, $R) + 0 AS bin_m,
+       | round(sum(w)/count(*) + $JitterSql, $R) + 0 AS bin_w
        |FROM p GROUP BY conv_id, floor(t / 3600) ORDER BY conv_id, bucket""".stripMargin
 
   /** 1d tier through the full 1m -> 1h -> 1d cascade. */
@@ -86,8 +86,8 @@ object TranscriptQueries {
   private val sqlTier1d =
     s"""WITH p AS ($SERIES)
        |SELECT conv_id, CAST(floor(t / 86400) AS BIGINT) AS bucket, count(*) AS n,
-       | round(sum(m*w)/sum(w) + $JitterSql, $R) AS bin_m,
-       | round(sum(w)/count(*) + $JitterSql, $R) AS bin_w
+       | round(sum(m*w)/sum(w) + $JitterSql, $R) + 0 AS bin_m,
+       | round(sum(w)/count(*) + $JitterSql, $R) + 0 AS bin_w
        |FROM p GROUP BY conv_id, floor(t / 86400) ORDER BY conv_id, bucket""".stripMargin
 
   /** Per-bucket feature kernels at the 1h tier (computed by the
@@ -116,11 +116,11 @@ object TranscriptQueries {
        |        list_sort(list(m)) AS arr
        |       FROM p GROUP BY 1, 2 HAVING count(*) >= 2)
        |SELECT conv_id, bucket, n,
-       | round(mean + $JitterSql, $R) AS mean,
-       | round(amplitude + $JitterSql, $R) AS amplitude,
-       | round(standard_deviation + $JitterSql, $R) AS standard_deviation,
-       | round(weighted_mean + $JitterSql, $R) AS weighted_mean,
-       | round($med + $JitterSql, $R) AS median
+       | round(mean + $JitterSql, $R) + 0 AS mean,
+       | round(amplitude + $JitterSql, $R) + 0 AS amplitude,
+       | round(standard_deviation + $JitterSql, $R) + 0 AS standard_deviation,
+       | round(weighted_mean + $JitterSql, $R) + 0 AS weighted_mean,
+       | round($med + $JitterSql, $R) + 0 AS median
        |FROM g ORDER BY conv_id, bucket""".stripMargin
   }
 
@@ -145,7 +145,7 @@ object TranscriptQueries {
        |SELECT conv_id, bucket,
        | CASE WHEN bin_m IS NULL THEN 1 ELSE 0 END AS is_gap,
        | round(last_value(bin_m IGNORE NULLS) OVER (PARTITION BY conv_id ORDER BY bucket
-       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + $JitterSql, $R) AS bin_m_locf
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + $JitterSql, $R) + 0 AS bin_m_locf
        |FROM j ORDER BY conv_id, bucket""".stripMargin
 
   /** Gorilla compression over each conversation's 1m series: the
