@@ -20,13 +20,23 @@ object Dedup {
   // ---------------- shingling ----------------
 
   /** Word n-gram shingles (distinct) from a text column, built from
-    * Catalyst primitives (split + sequence + transform), codegen'd.
-    * Texts shorter than n tokens yield an empty set. */
+    * Catalyst primitives. Texts shorter than n tokens yield an empty
+    * set.
+    *
+    * Shape matters: the obvious `transform(sequence(..), i =>
+    * concat(element_at(toks, i), ..))` re-evaluates the `split` INSIDE
+    * the lambda once per element per element_at (higher-order
+    * functions are interpreted with no common-subexpression
+    * elimination) — O(len²) string splitting per document. Zipping
+    * shifted `slice`s evaluates the split O(n) times per row total. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = split(trim(text), " ")
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(toks, (i + k + 1).cast("int"))): _*))))
+    val nShingles = size(toks) - (n - 1)
+    def shifted(k: Int): Column = slice(toks, lit(k + 1), nShingles)
+    val joined = (1 until n).foldLeft(shifted(0)) { (acc, k) =>
+      zip_with(acc, shifted(k), (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toks) >= n, array_distinct(joined))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -101,30 +111,92 @@ object Dedup {
   }
 
   /**
-   * MinHash-LSH candidate pairs: explode band hashes, self-join within
-   * (band index, band hash) buckets, dedupe pairs. `df` must have a
-   * unique `id` column and a `shingles` array column. Output:
-   * (id_a, id_b, est_jaccard from signature agreement, jaccard exact).
+   * MinHash-LSH candidate pairs. `df` must have a unique `id` column
+   * and a `shingles` array column. Output: (id_a, id_b, est_jaccard
+   * from signature agreement, jaccard exact).
+   *
+   * Scale shape (the 100 TB contract):
+   *  1. SIGNATURE-DEDUP FIRST — documents with an identical full
+   *     minhash signature (exact duplicates and byte-near clones)
+   *     collapse to one min-id representative BEFORE banding, and the
+   *     group is emitted as STAR pairs (rep, member): a corpus with a
+   *     million identical documents — the normal case a dedup pipeline
+   *     meets — yields n-1 linear pairs and ONE bucket row, instead of
+   *     a B² clique inside every band bucket. Near-matches of other
+   *     docs are reported against the representative (cluster-rep
+   *     pairing; consumers resolve members transitively).
+   *  2. Band self-join carries only (id, signature) — k longs per row.
+   *     Shingle sets NEVER ride the bucket join.
+   *  3. Buckets larger than `maxBucket` distinct signatures are
+   *     dropped from pairing (deterministically, with the count
+   *     observable via [[minHashBucketOverflow]]) — an adversarial
+   *     hot bucket cannot take down the job.
+   *  4. Exact Jaccard is confirmed by re-joining the (narrow) matched
+   *     pairs back to the shingle table — two id-keyed shuffles of a
+   *     few matched rows instead of shipping every shingle set through
+   *     every bucket.
    */
   def minHashLshPairs(df: DataFrame, k: Int = 16, bands: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val (sig, bandArr) = minHashCols(col("shingles"), k, bands, seed)
-    val withSig = df.withColumn("sig", sig).withColumn("bands", bandArr)
-    val exploded = withSig.select(col("id"), col("sig"), col("shingles"),
-        posexplode(col("bands")).as(Seq("band", "bucket")))
-    val a = exploded.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("sig").as("sig_a"), col("shingles").as("sh_a"))
-    val b = exploded.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("sig").as("sig_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+      seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (sig, _) = minHashCols(col("shingles"), k, bands, seed)
+    val withSig = df.select(col("id"), col("shingles")).withColumn("sig", sig)
+    // 1. signature-duplicate groups -> min-id rep + linear star pairs
+    val wSig = Window.partitionBy(col("sig"))
+    val tagged = withSig.withColumn("rep", min(col("id")).over(wSig))
+    val dupPairs = tagged.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"),
+        lit(1.0).as("est_jaccard")) // identical signatures agree on all k
+    val reps = tagged.filter(col("id") === col("rep"))
+      .select(col("id"), col("sig"))
+      .withColumn("bands", bandArr2(bands)(col("sig")))
+    // 2. band the representatives; 3. cap bucket size
+    val exploded = reps.select(col("id"), col("sig"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+    val capped = exploded.withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("sig").as("sig_b"))
+    val lshPairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(
           zip_with(col("sig_a"), col("sig_b"), (x, y) =>
             when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, x) => acc + x) / k).as("est_jaccard"),
+          lit(0.0), (acc, x) => acc + x) / k).as("est_jaccard"))
+      // multi-band collisions of the same pair: partial-agg dedupe on
+      // the narrow projection (no wide dropDuplicates shuffle)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
+    // 4. exact-Jaccard confirm on the matched pairs only
+    val sh = df.select(col("id"), col("shingles"))
+    dupPairs.unionByName(lshPairs)
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Band-hash UDF over a signature column (shared by the rep path). */
+  private def bandArr2(bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((sig: Seq[Long]) => bandHashes(sig.toArray, bands))
+
+  /** Observability for cap (3) above: (band, bucket, size) of every
+    * bucket whose DISTINCT-signature population exceeds `maxBucket` —
+    * what `minHashLshPairs` dropped, never silently. */
+  def minHashBucketOverflow(df: DataFrame, k: Int = 16, bands: Int = 4,
+      seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
+    val (sig, _) = minHashCols(col("shingles"), k, bands, seed)
+    df.select(col("id"), col("shingles")).withColumn("sig", sig)
+      .groupBy(col("sig")).agg(min(col("id")).as("id"))
+      .withColumn("bands", bandArr2(bands)(col("sig")))
+      .select(posexplode(col("bands")).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBucket)
   }
 
   // ---------------- SimHash ----------------

@@ -1,25 +1,34 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
  * Similarity search over embedding columns (`array<float>`):
- * brute-force cosine top-k as the exact baseline, and random-
- * hyperplane LSH bucketing as the approximate scale path (candidates
- * restricted to same-bucket vectors — at 100 TB the bucket join
- * replaces the all-pairs cross join; recall tuned by plane count /
- * multi-probe).
+ * brute-force cosine top-k as the exact baseline, and two approximate
+ * scale paths — multi-table random-hyperplane LSH and an IVF
+ * (inverted-file) coarse quantizer with multi-probe.
  *
- * Dot products are pure Catalyst higher-order functions
- * (`zip_with` + `aggregate`) — codegen'd, no UDF in the hot path.
- * Only the hyperplane signature (tiny, per-row) is a UDF.
+ * Hot-path design for 100 TB:
+ *  - per-row norms are computed ONCE before any join (never per pair);
+ *  - the per-pair score is the native codegen'd [[graft.plans.VecDotExpression]]
+ *    (`vec_dot`), not an interpreted higher-order function;
+ *  - all post-join shuffles carry only (query_id, cand_id, cosine) —
+ *    vectors never ride a dedup/rank exchange;
+ *  - pair dedup (multi-table / multi-probe collisions) is a partial
+ *    hash aggregate (`groupBy.agg(first)`), combining map-side, not a
+ *    `dropDuplicates` of wide rows.
  */
 object Similarity {
 
   /** Cast float array to double for stable math. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Declarative HOF forms — used only for per-ROW prep (once per
+    * vector) where CodegenFallback cost is amortized; per-PAIR scoring
+    * uses the native `vec_dot`. Summation order matches vec_dot, so
+    * either form yields bit-identical doubles. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, x) => acc + x)
 
@@ -28,45 +37,49 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native codegen'd pair score: dot(qv,cv)/(qn*cn) over precomputed
+    * norms. Bit-equal to `cosine(qv, cv)` (same op order). */
+  private def pairCosine(s: SparkSession): Column = {
+    graft.plans.GraftExtensions.register(s)
+    expr("vec_dot(qv, cv)") / (col("qn") * col("cn"))
+  }
+
   /**
    * Exact brute-force top-k: for each query row, rank all candidate
    * rows by cosine (desc, id asc tie-break). Queries are broadcast —
    * the candidate side stays partitioned, so the scan distributes.
    */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = candidates.select(col("id").as("cand_id"), asDouble(col("vec")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", pairCosine(queries.sparkSession))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.select(col("query_id"), col("cand_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
   }
 
   // ---------------- IVF (inverted-file) ANN ----------------
 
   /**
-   * Deterministic k-means coarse quantizer trained distributed:
-   * centroids init from evenly-strided vectors (seeded, order-stable),
-   * then `iters` Lloyd rounds — each round is one groupBy(cell) over
-   * the data with the (tiny) centroid table broadcast in the closure.
-   * Returns the centroid matrix.
+   * Deterministic k-means coarse quantizer trained distributed.
+   * Init is a distributed `TakeOrderedAndProject` — the k vectors with
+   * the smallest `xxhash64(id)` (a deterministic pseudo-random sample:
+   * per-partition top-k, merged on the driver; NO global sort/window,
+   * no single-task funnel). Then `iters` Lloyd rounds — each round is
+   * one groupBy(cell) over the data with the (tiny) centroid matrix
+   * broadcast in the closure; only k×d sums are collected.
    */
   def trainIvfCentroids(df: DataFrame, k: Int, iters: Int = 3): Array[Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(col("id"), asDouble(col("vec")).as("v"))
-    val n = vecs.count()
-    val stride = math.max(n / k, 1L)
-    // deterministic init: every stride-th vector by id order
-    var centroids = vecs.withColumn("rk",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
-      .filter((col("rk") - 1) % stride === 0)
-      .limit(k)
-      .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+    var centroids = centroidInitSample(vecs, k)
+      .as[Seq[Double]].collect().map(_.toArray)
     for (_ <- 1 to iters) {
       val cb = centroids // stable snapshot for the closure
       val assignU = udf((v: Seq[Double]) => nearestCentroid(v.toArray, cb)._1)
@@ -83,6 +96,13 @@ object Similarity {
     }
     centroids
   }
+
+  /** The k init vectors: smallest `xxhash64(id)` — plans as a
+    * distributed `TakeOrderedAndProject` (per-partition top-k, driver
+    * merge), deterministic, no global sort/window. Exposed so PlanSpec
+    * can audit the physical plan. */
+  def centroidInitSample(vecs: DataFrame, k: Int): DataFrame =
+    vecs.orderBy(xxhash64(col("id")), col("id")).limit(k).select(col("v"))
 
   /** (cell index, cosine to that centroid). */
   def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): (Int, Double) = {
@@ -107,6 +127,24 @@ object Similarity {
   def probeCells(v: Array[Double], centroids: Array[Array[Double]], nProbe: Int): Array[Int] =
     centroids.indices.sortBy(c => -cosineLocal(v, centroids(c))).take(nProbe).toArray
 
+  /** Shared tail: score joined (qv,qn,cv,cn) pairs, dedupe on the
+    * narrow (ids, cosine) projection, rank per query. */
+  private def scoreDedupRank(joined: DataFrame, k: Int, s: SparkSession): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    joined
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", pairCosine(s))
+      .select(col("query_id"), col("cand_id"), col("cosine"))
+      // multi-table/multi-probe collisions have identical cosine:
+      // first() under partial aggregation is deterministic in value
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(first(col("cosine")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+  }
+
   /**
    * IVF approximate top-k: candidates assigned to their nearest cell
    * (the inverted file), queries probe their `nProbe` nearest cells.
@@ -116,25 +154,15 @@ object Similarity {
    */
   def ivfTopK(df: DataFrame, k: Int, nCells: Int, nProbe: Int = 2,
       iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val centroids = trainIvfCentroids(df, nCells, iters)
     val assignU = udf((v: Seq[Double]) => nearestCentroid(v.toArray, centroids)._1)
     val probeU = udf((v: Seq[Double]) => probeCells(v.toArray, centroids, nProbe))
     val base = df.select(col("id"), asDouble(col("vec")).as("v"))
     val inverted = base.select(assignU(col("v")).as("cell"),
-      col("id").as("cand_id"), col("v").as("cv"))
+      col("id").as("cand_id"), col("v").as("cv"), norm(col("v")).as("cn"))
     val queries = base.select(col("id").as("query_id"), col("v").as("qv"),
-        explode(probeU(col("v"))).as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    queries.join(inverted, Seq("cell"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
-      .dropDuplicates("query_id", "cand_id")
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+        norm(col("v")).as("qn"), explode(probeU(col("v"))).as("cell"))
+    scoreDedupRank(queries.join(inverted, Seq("cell")), k, df.sparkSession)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -161,34 +189,35 @@ object Similarity {
       org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((v: Seq[Double]) => hyperplaneSignature(v, planes, seed))
 
+  /** planes sized so expected bucket occupancy ~ targetBucket: a fixed
+    * plane count makes per-bucket candidate sets O(n) (quadratic in
+    * disguise); scaling planes with log2(n/target) keeps the per-query
+    * candidate count ~tables*targetBucket at ANY corpus size. */
+  def autoPlanes(n: Long, targetBucket: Int = 64): Int =
+    math.min(24, math.max(2,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+
   /**
    * Multi-table LSH approximate top-k: `tables` independent
    * hyperplane signatures per vector (standard L-table LSH — a true
    * neighbor is a candidate if it collides in ANY table, recall
    * 1-(1-p^planes)^tables). One shuffle on the (table, bucket) key;
-   * per-bucket candidate sets are ~n / 2^planes, so the join cost is
-   * planes/tables-tunable and never globally quadratic.
+   * per-bucket candidate sets are ~n / 2^planes. `planes <= 0` derives
+   * the plane count from the corpus size via [[autoPlanes]].
    */
   def lshTopK(df: DataFrame, planes: Int, k: Int, tables: Int = 4,
       seed: Long = 7L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val nPlanes = if (planes > 0) planes else autoPlanes(df.count())
     val sigsU = udf((v: Seq[Double]) =>
-      Array.tabulate(tables)(tb => hyperplaneSignature(v, planes, seed + 1000L * tb)))
+      Array.tabulate(tables)(tb => hyperplaneSignature(v, nPlanes, seed + 1000L * tb)))
     val withSig = df.select(col("id"), asDouble(col("vec")).as("v"))
-      .select(col("id"), col("v"), posexplode(sigsU(col("v"))).as(Seq("table", "bucket")))
+      .withColumn("n2", norm(col("v")))
+      .select(col("id"), col("v"), col("n2"),
+        posexplode(sigsU(col("v"))).as(Seq("table", "bucket")))
     val a = withSig.select(col("table"), col("bucket"),
-      col("id").as("query_id"), col("v").as("qv"))
+      col("id").as("query_id"), col("v").as("qv"), col("n2").as("qn"))
     val b = withSig.select(col("table"), col("bucket"),
-      col("id").as("cand_id"), col("v").as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    a.join(b, Seq("table", "bucket"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
-      .dropDuplicates("query_id", "cand_id")
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+      col("id").as("cand_id"), col("v").as("cv"), col("n2").as("cn"))
+    scoreDedupRank(a.join(b, Seq("table", "bucket")), k, df.sparkSession)
   }
 }

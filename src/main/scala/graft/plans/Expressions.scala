@@ -58,6 +58,46 @@ case class R5PpfExpression(left: Expression, right: Expression)
   override def prettyName: String = "r5_ppf"
 }
 
+/** Dot product of two ARRAY<DOUBLE> columns — the ANN hot-path scalar.
+  * Spark's higher-order `aggregate(zip_with(..))` form is
+  * CodegenFallback (interpreted, allocates the zipped array per pair);
+  * this expression is a single codegen'd loop over the unsafe array
+  * data. Summation order is ascending index, identical to the HOF
+  * left-fold, so values are bit-equal to the declarative form. */
+case class VecDotExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isDoubleArray(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.VecOps$$.MODULE$$.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotExpression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot"
+}
+
+object VecOps {
+  /** Ascending-index dot product over Catalyst array data. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+}
+
 /** Injects the native expressions into a session's function registry —
   * usable via `spark.sql.extensions=graft.plans.GraftExtensions` or
   * [[GraftExtensions.register]] on a live session. */
@@ -65,6 +105,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.lnErfcFn)
     ext.injectFunction(GraftExtensions.r5PpfFn)
+    ext.injectFunction(GraftExtensions.vecDotFn)
   }
 }
 
@@ -83,6 +124,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => R5PpfExpression(args.head,
         org.apache.spark.sql.catalyst.expressions.Cast(args(1), DoubleType)))
 
+  private[plans] val vecDotFn =
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
+      (args: Seq[Expression]) => VecDotExpression(args.head, args(1)))
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -91,5 +137,7 @@ object GraftExtensions {
     registry.createOrReplaceTempFunction("r5_ppf",
       args => R5PpfExpression(args.head,
         org.apache.spark.sql.catalyst.expressions.Cast(args(1), DoubleType)), "scala_udf")
+    registry.createOrReplaceTempFunction("vec_dot",
+      args => VecDotExpression(args.head, args(1)), "scala_udf")
   }
 }

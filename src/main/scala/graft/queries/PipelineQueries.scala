@@ -83,18 +83,30 @@ object PipelineQueries {
 
   // ---------------- n-gram Jaccard pairs (blocked) ----------------
 
-  /** Exact word-2-gram Jaccard over pairs blocked by (lang, source) —
-    * the blocking keeps the pair count O(sum of block^2), never global
-    * quadratic. */
+  /** Exact word-2-gram Jaccard via an INVERTED INDEX: explode shingles,
+    * self-join postings on (lang, source, shingle), count shared
+    * shingles per pair, then jaccard = |A∩B| / (|A|+|B|-|A∩B|) from the
+    * precomputed set sizes. Work scales with Σ posting² (shingle
+    * rarity), not Σ block² (corpus size) — the naive blocked pair join
+    * is quadratic at fixed blocking-key cardinality; this is the shape
+    * that survives 100×. Pairs with empty intersection can't reach the
+    * 0.02 threshold, so the output is identical to the all-pairs form. */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
       Dedup.wordShingles(col("text"), 2).as("sh"))
-    val a = base.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = base.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "source"))
+    val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
+    val postings = base.select(col("lang"), col("source"), col("doc_id"),
+      explode(col("sh")).as("g"))
+    val a = postings.select(col("lang"), col("source"), col("g"), col("doc_id").as("id_a"))
+    val b = postings.select(col("lang"), col("source"), col("g"), col("doc_id").as("id_b"))
+    a.join(b, Seq("lang", "source", "g"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy(col("lang"), col("source"), col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
       .select(col("lang"), col("source"), col("id_a"), col("id_b"),
-        r(Dedup.jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
+        r(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.02)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -161,7 +173,8 @@ object PipelineQueries {
 
   private def qEmbedAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val all = embeds(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Similarity.lshTopK(all, planes = 4, k = 3, tables = 4)
+    // planes <= 0 -> auto-derived from corpus size (log2(n/targetBucket))
+    Similarity.lshTopK(all, planes = -1, k = 3, tables = 4)
       .select(col("query_id"), col("cand_id"),
         round(col("cosine"), 6).as("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))

@@ -74,6 +74,27 @@ class PlanSpec extends AnyFunSuite {
       s"query side not broadcast:\n$plan")
   }
 
+  test("IVF centroid init plans as distributed TakeOrderedAndProject (no global sort exchange)") {
+    val vecs = spark.range(200).select(col("id"),
+      transform(array((0 until 8).map(i => rand(i)): _*), _.cast("double")).as("v"))
+    val plan = physicalPlan(Similarity.centroidInitSample(vecs, 8))
+    assert(plan.contains("TakeOrderedAndProject"), s"init not take-ordered:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), s"single-partition funnel:\n$plan")
+  }
+
+  test("LSH top-k: vectors never ride the dedup/rank exchanges") {
+    val vecs = spark.range(200).select(col("id"),
+      array((0 until 8).map(i => rand(i)): _*).as("vec"))
+    val plan = physicalPlan(Similarity.lshTopK(vecs, planes = 3, k = 3, tables = 2))
+    // every Exchange AFTER the bucket join must carry only ids + cosine:
+    // no exchange line may ship a vector column (qv/cv)
+    val badExchange = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .filter(l => l.contains("query_id")) // post-join exchanges
+      .exists(l => l.contains("qv") || l.contains("cv"))
+    assert(!badExchange, s"vector payload rides a post-join exchange:\n$plan")
+    assert(!plan.contains("dropDuplicates"), "wide dropDuplicates survived")
+  }
+
   test("catalyst collapses shared sub-aggregates into one physical aggregate") {
     import graft.functions.Kernels
     val series = Transcripts.series(spark.read.parquet(turnsPath))

@@ -51,6 +51,35 @@ class PipelineSpec extends AnyFunSuite {
     pairs.filter(_._4 > 0.9).foreach(p => assert(p._3 >= 0.5, s"est too low: $p"))
   }
 
+  test("minhash-LSH: 1000 identical docs collapse to linear star pairs, no B² bucket") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    val df = (0L until 1000L).map(i => (i, text)).toDF("id", "text")
+      .withColumn("shingles", Dedup.wordShingles(col("text"), 2))
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minHashLshPairs(df, k = 16, bands = 4).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // star expansion: exactly n-1 pairs, all against the min-id rep
+    assert(pairs.length == 999, s"expected 999 star pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) == 0L))
+    assert(pairs.forall(r => r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0))
+    assert(secs < 30.0, s"duplicate-heavy corpus took ${secs}s - bucket blowup?")
+  }
+
+  test("minhash-LSH: oversized buckets are capped and reported, not exploded") {
+    import spark.implicits._
+    // 40 distinct docs sharing most content -> most land in shared band buckets
+    val df = (0L until 40L).map(i => (i, s"common one two three four five six w$i"))
+      .toDF("id", "text")
+      .withColumn("shingles", Dedup.wordShingles(col("text"), 2))
+    val overflow = Dedup.minHashBucketOverflow(df, k = 16, bands = 4, maxBucket = 8)
+    assert(overflow.count() > 0, "expected at least one overflowing bucket")
+    // capped run completes and emits no pair from the oversized buckets' clique
+    val capped = Dedup.minHashLshPairs(df, k = 16, bands = 4, maxBucket = 8).count()
+    val uncapped = Dedup.minHashLshPairs(df, k = 16, bands = 4).count()
+    assert(capped < uncapped, s"cap had no effect: $capped vs $uncapped")
+  }
+
   test("minhash signatures are deterministic and permutation-count-sized") {
     val sh = Seq("a b", "b c", "c d", "d e")
     val s1 = Dedup.minHashSignature(sh, 16, 42L)
@@ -94,6 +123,28 @@ class PipelineSpec extends AnyFunSuite {
     }
     val recall = recalls.sum / recalls.size
     assert(recall > 0.35, s"recall@5 $recall")
+  }
+
+  test("auto-planes: plane count scales log2 with corpus size; auto mode keeps recall") {
+    // derived planes grow with n so per-bucket occupancy stays ~targetBucket
+    assert(Similarity.autoPlanes(100, 64) == 2)
+    assert(Similarity.autoPlanes(2048, 64) == 5)
+    assert(Similarity.autoPlanes(2048L << 10, 64) == 15)
+    assert(Similarity.autoPlanes(Long.MaxValue, 64) == 24) // capped
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val brute = Similarity.bruteForceTopK(all.filter(col("id") < 30), all, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val auto = Similarity.lshTopK(all, planes = -1, k = 5, tables = 4)
+      .filter(col("query_id") < 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.collect { case (q, bs) if auto.contains(q) =>
+      (bs & auto(q)).size.toDouble / bs.size
+    }
+    assert(recalls.sum / recalls.size > 0.35,
+      s"auto-planes recall ${recalls.sum / recalls.size}")
   }
 
   test("IVF ANN: deterministic centroids, exact cosines, recall beats single-cell") {
