@@ -76,13 +76,17 @@ object SpectralQueries {
        |        ELSE log10(amp0) END + 1.2345e-9, 6) AS clipped_lg_amplitude
        |FROM g ORDER BY user_id""".stripMargin
 
-  /** Nonlinear SN-model fits per series (Bazin 5p + Linexp 4p via the
-    * deterministic MCMC + Nelder-Mead pipeline); tolerance-tested in
-    * FitSpec, rows-only driver check (no SQL oracle exists for an
-    * optimizer). */
+  /** Nonlinear SN-model fits per series (Bazin 5p + Villar 7p +
+    * Linexp 4p via the deterministic MCMC + Nelder-Mead pipeline),
+    * each both RAW (params + chi2) and through its fit-output
+    * transformer (mag amplitude / B-over-A / ln1p chi2 reshape);
+    * tolerance-tested in FitSpec, rows-only driver check (no SQL
+    * oracle exists for an optimizer). */
   private def qCurveFits(s: SparkSession, dir: String): DataFrame = {
+    import graft.ref.FitTransformer
     val feats = Seq(
       CurveFitFeature(NonlinearFit.BazinModel),
+      CurveFitFeature(NonlinearFit.VillarModel),
       CurveFitFeature(NonlinearFit.LinexpModel))
     val names = SeriesFeatures.outputNames(feats)
     val base = pts(s, dir)
@@ -91,9 +95,41 @@ object SpectralQueries {
         count(lit(1)).as("n_obs"))
       .filter(col("n_obs") >= 8)
       .withColumn("f", SeriesFeatures.extract(feats)(col("p")))
-    names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
-      d.withColumn(n, round(col("f").getItem(i), 6))
-    }.select((col("user_id") +: names.map(col)): _*).orderBy(col("user_id"))
+    val raw = names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
+      d.withColumn(s"_$n", col("f").getItem(i))
+    }
+    // fit-output transformers (bazin_fit.rs:106-136 etc.), derived in
+    // Catalyst from the raw params — same scalar ops as
+    // graft.ref.FitTransformer, with a `tr_` prefix (the reference's
+    // transformed names intentionally shadow raw param names; a
+    // reference user picks raw OR transformed per extractor, this
+    // query emits both).
+    val zp = lit(FitTransformer.DefaultMagZp)
+    def magAmp(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      zp - lit(2.5) * log10(lit(2.0) * a)
+    val withTr = raw
+      .withColumn("tr_bazin_fit_mag_full_amplitude", magAmp(col("_bazin_fit_amplitude")))
+      .withColumn("tr_bazin_fit_baseline_amplitude_ratio",
+        col("_bazin_fit_baseline") / col("_bazin_fit_amplitude"))
+      .withColumn("tr_ln1p_bazin_fit_reduced_chi2", log1p(col("_bazin_fit_reduced_chi2")))
+      .withColumn("tr_villar_fit_mag_full_amplitude", magAmp(col("_villar_fit_amplitude")))
+      .withColumn("tr_villar_fit_baseline_amplitude_ratio",
+        col("_villar_fit_baseline") / col("_villar_fit_amplitude"))
+      .withColumn("tr_ln1p_villar_fit_reduced_chi2", log1p(col("_villar_fit_reduced_chi2")))
+      .withColumn("tr_linexp_fit_amplitude", magAmp(col("_linexp_fit_amplitude")))
+      .withColumn("tr_linexp_fit_baseline",
+        col("_linexp_fit_baseline") / col("_linexp_fit_amplitude"))
+      .withColumn("tr_ln1p_linexp_fit_reduced_chi2", log1p(col("_linexp_fit_reduced_chi2")))
+    val trNames = Seq(
+      "tr_bazin_fit_mag_full_amplitude", "tr_bazin_fit_baseline_amplitude_ratio",
+      "tr_ln1p_bazin_fit_reduced_chi2",
+      "tr_villar_fit_mag_full_amplitude", "tr_villar_fit_baseline_amplitude_ratio",
+      "tr_ln1p_villar_fit_reduced_chi2",
+      "tr_linexp_fit_amplitude", "tr_linexp_fit_baseline",
+      "tr_ln1p_linexp_fit_reduced_chi2")
+    val outCols = names.map(n => round(col(s"_$n"), 6).as(n)) ++
+      trNames.map(n => round(col(n), 6).as(n))
+    withTr.select((col("user_id") +: outCols): _*).orderBy(col("user_id"))
   }
 
   /** Combined multi-band periodogram per series (bands = event_type):

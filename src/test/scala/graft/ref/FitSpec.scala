@@ -106,6 +106,45 @@ class FitSpec extends AnyFunSuite {
     assert(math.abs(mixed(0.5) - math.log(0.5)) < 1e-12)
   }
 
+  test("fit-output transformers: golden reshape values and names") {
+    // zp is the widened f32 literal (bazin_fit.rs:41-43)
+    val zp = FitTransformer.DefaultMagZp
+    assert(zp == 8.899999618530273)
+
+    // Bazin 6 -> 5 (bazin_fit.rs:106-136): A=2, B=0.5, t0=100 (dropped),
+    // rise=3, fall=7, chi2=1.5
+    val bz = FitTransformer.BazinFitTransformer()
+    val b = bz(Array(2.0, 0.5, 100.0, 3.0, 7.0, 1.5))
+    assert(b.toSeq == Seq(zp - 2.5 * math.log10(4.0), 0.25, 3.0, 7.0, math.log1p(1.5)))
+    assert(bz.names == Seq("bazin_fit_mag_full_amplitude",
+      "bazin_fit_baseline_amplitude_ratio", "bazin_fit_rise_time",
+      "bazin_fit_fall_time", "ln1p_bazin_fit_reduced_chi2"))
+
+    // Villar 8 -> 7 (villar_fit.rs:106-136): nu and gamma pass through
+    val vl = FitTransformer.VillarFitTransformer()
+    val v = vl(Array(4.0, -1.0, 50.0, 2.0, 9.0, 0.3, 11.0, 0.25))
+    assert(v.toSeq == Seq(zp - 2.5 * math.log10(8.0), -0.25, 2.0, 9.0, 0.3, 11.0,
+      math.log1p(0.25)))
+    assert(vl.names.head == "villar_fit_mag_full_amplitude" && vl.names.size == 7)
+
+    // Linexp 5 -> 4 (linexp_fit.rs:97-121): [A, t0, fall, B, chi2] ->
+    // [mag_amp, fall, B/A, ln1p(chi2)] under the historic names
+    val lx = FitTransformer.LinexpFitTransformer()
+    val l = lx(Array(8.0, 10.0, 6.0, -2.0, 3.0))
+    assert(l.toSeq == Seq(zp - 2.5 * math.log10(16.0), 6.0, -0.25, math.log1p(3.0)))
+    assert(lx.names == Seq("linexp_fit_amplitude", "linexp_fit_fall_time",
+      "linexp_fit_baseline", "ln1p_linexp_fit_reduced_chi2"))
+
+    // arity is enforced
+    intercept[IllegalArgumentException](bz(Array(1.0)))
+
+    // TransformedFit wraps a feature: names/arity swap to the reshape
+    val tf = TransformedFit(CurveFitFeature(NonlinearFit.BazinModel),
+      FitTransformer.BazinFitTransformer())
+    assert(tf.names == bz.names && tf.minTsLength ==
+      CurveFitFeature(NonlinearFit.BazinModel).minTsLength)
+  }
+
   test("nelder-mead minimizes a bounded quadratic") {
     val f = (p: Array[Double]) =>
       (p(0) - 3.0) * (p(0) - 3.0) + 2.0 * (p(1) + 1.0) * (p(1) + 1.0)
