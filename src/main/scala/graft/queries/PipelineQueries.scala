@@ -148,6 +148,91 @@ object PipelineQueries {
         col("bands").getItem(2).as("band_2"), col("bands").getItem(3).as("band_3"))
       .orderBy(col("doc_id"))
 
+  /** Full value oracle for the simhash query: FNV-1a-64 + splitmix64
+    * token hashes and the 64-bit sign-sum are mirrored in pure SQL via
+    * [[DuckMacros]] (wrapping arithmetic in HUGEINT limbs). */
+  private val sqlSimHash = {
+    import DuckMacros._
+    val stages = mix64Stages(
+      s"(SELECT doc_id, ${fnv64("w")} AS z0 FROM tok)", "z0", "h", Seq("doc_id"))
+    def band(i: Int) =
+      s"CAST((${u64("simhash")} // CAST(power(2, ${16 * i}) AS HUGEINT)) % 65536 AS BIGINT) AS band_$i"
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+       |             FROM documents),
+       | th AS (SELECT * FROM $stages),
+       | bits AS (SELECT doc_id, b,
+       |           sum(CASE WHEN ${bit64("h", "b")} = 1 THEN 1 ELSE -1 END) AS cnt
+       |          FROM th, (SELECT unnest(range(0, 64)) AS b)
+       |          GROUP BY doc_id, b),
+       | sim AS (SELECT doc_id,
+       |          ${s64("sum(CASE WHEN cnt > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE 0 END)")}
+       |            AS simhash
+       |         FROM bits GROUP BY doc_id)
+       |SELECT doc_id, simhash, ${band(0)}, ${band(1)}, ${band(2)}, ${band(3)}
+       |FROM sim ORDER BY doc_id""".stripMargin
+  }
+
+  /** Full oracle for language ID: the add-one-smoothed top-64 token
+    * profile and argmax scoring (TextStats.languageId) re-derived
+    * relationally. The predicted label is integer/argmax-valued, so
+    * SQL-vs-JVM summation-order ulps cannot flip it on a separable
+    * corpus. */
+  private val sqlLangId =
+    s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS token
+       |             FROM documents),
+       | counts AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+       | totals AS (SELECT lang, sum(c) AS total, count(*) AS vocab FROM counts GROUP BY 1),
+       | top AS (SELECT r.lang, r.token,
+       |          ln((r.c + 1.0) / (t.total + t.vocab)) AS logp
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY lang
+       |                 ORDER BY c DESC, token) AS rk FROM counts) r
+       |         JOIN totals t ON r.lang = t.lang WHERE r.rk <= 64),
+       | langs AS (SELECT lang, ln(1.0 / (total + vocab)) AS floor FROM totals),
+       | scored AS (SELECT tk.doc_id, l.lang,
+       |             sum(coalesce(p.logp, l.floor)) AS score
+       |            FROM tok tk CROSS JOIN langs l
+       |            LEFT JOIN top p ON p.lang = l.lang AND p.token = tk.token
+       |            GROUP BY 1, 2),
+       | best AS (SELECT doc_id, lang AS predicted_lang,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY score DESC, lang) AS rk
+       |          FROM scored)
+       |SELECT d.doc_id, d.lang, b.predicted_lang
+       |FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rk = 1
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Full oracle for the stub decoder: byte stats recomputed from the
+    * (ASCII) text — exact-integer byte mean, in-order entropy fold,
+    * FNV-1a checksum via the wrapping-arithmetic macros. */
+  private val sqlMultimodalDecode = {
+    import DuckMacros._
+    s"""WITH ch AS (SELECT doc_id,
+       |             unnest(list_transform(range(1, length(text) + 1),
+       |               i -> ascii(text[i]))) AS b
+       |            FROM documents),
+       | hist AS (SELECT doc_id, b, count(*) AS c FROM ch GROUP BY 1, 2),
+       | tot AS (SELECT doc_id, sum(b * c) AS bsum, sum(c) AS n FROM hist GROUP BY 1),
+       | ent AS (SELECT h.doc_id,
+       |          list_reduce(list_prepend(0.0,
+       |            list((CAST(h.c AS DOUBLE) / t.n * ln(CAST(h.c AS DOUBLE) / t.n)) / ln(2.0)
+       |              ORDER BY h.b)), (a, x) -> a - x) AS entropy
+       |         FROM hist h JOIN tot t ON h.doc_id = t.doc_id
+       |         GROUP BY h.doc_id),
+       | chk AS (SELECT doc_id,
+       |          CASE WHEN length(text) = 0 THEN 0 ELSE ${fnv64("text")} END AS checksum
+       |         FROM documents)
+       |SELECT d.doc_id, 'text/utf-8' AS format,
+       | CAST(coalesce(t.n, 0) AS BIGINT) AS n_bytes,
+       | round(coalesce(CAST(t.bsum AS DOUBLE) / t.n, 0.0), 6) + 0 AS byte_mean,
+       | round(coalesce(e.entropy, 0.0), 6) + 0 AS byte_entropy,
+       | c.checksum
+       |FROM documents d
+       |LEFT JOIN tot t ON d.doc_id = t.doc_id
+       |LEFT JOIN ent e ON d.doc_id = e.doc_id
+       |JOIN chk c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---------------- similarity search ----------------
 
   private def qEmbedTopK(s: SparkSession, dir: String): DataFrame = {
@@ -236,6 +321,9 @@ object PipelineQueries {
     "q_docs_text_stats" -> sqlTextStats,
     "q_docs_exact_dedup" -> sqlExactDedup,
     "q_docs_ngram_jaccard" -> sqlNgramJaccard,
+    "q_docs_simhash" -> sqlSimHash,
+    "q_docs_langid" -> sqlLangId,
     "q_embed_topk" -> sqlEmbedTopK,
-    "q_multimodal_meta" -> sqlMultimodalMeta)
+    "q_multimodal_meta" -> sqlMultimodalMeta,
+    "q_multimodal_decode" -> sqlMultimodalDecode)
 }

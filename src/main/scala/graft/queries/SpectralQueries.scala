@@ -104,21 +104,31 @@ object SpectralQueries {
     // transformed names intentionally shadow raw param names; a
     // reference user picks raw OR transformed per extractor, this
     // query emits both).
+    // IEEE semantics under ANSI mode: the reference's float math gives
+    // +inf for log10(0) -> mag of a zero-amplitude fit, and signed
+    // inf / NaN for B/0 — guard explicitly instead of erroring.
     val zp = lit(FitTransformer.DefaultMagZp)
     def magAmp(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      zp - lit(2.5) * log10(lit(2.0) * a)
+      when(a > 0.0, zp - lit(2.5) * log10(lit(2.0) * a))
+        .otherwise(lit(Double.PositiveInfinity))
+    def ratio(b: org.apache.spark.sql.Column,
+        a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(a =!= 0.0, b / a)
+        .when(b > 0.0, lit(Double.PositiveInfinity))
+        .when(b < 0.0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN))
     val withTr = raw
       .withColumn("tr_bazin_fit_mag_full_amplitude", magAmp(col("_bazin_fit_amplitude")))
       .withColumn("tr_bazin_fit_baseline_amplitude_ratio",
-        col("_bazin_fit_baseline") / col("_bazin_fit_amplitude"))
+        ratio(col("_bazin_fit_baseline"), col("_bazin_fit_amplitude")))
       .withColumn("tr_ln1p_bazin_fit_reduced_chi2", log1p(col("_bazin_fit_reduced_chi2")))
       .withColumn("tr_villar_fit_mag_full_amplitude", magAmp(col("_villar_fit_amplitude")))
       .withColumn("tr_villar_fit_baseline_amplitude_ratio",
-        col("_villar_fit_baseline") / col("_villar_fit_amplitude"))
+        ratio(col("_villar_fit_baseline"), col("_villar_fit_amplitude")))
       .withColumn("tr_ln1p_villar_fit_reduced_chi2", log1p(col("_villar_fit_reduced_chi2")))
       .withColumn("tr_linexp_fit_amplitude", magAmp(col("_linexp_fit_amplitude")))
       .withColumn("tr_linexp_fit_baseline",
-        col("_linexp_fit_baseline") / col("_linexp_fit_amplitude"))
+        ratio(col("_linexp_fit_baseline"), col("_linexp_fit_amplitude")))
       .withColumn("tr_ln1p_linexp_fit_reduced_chi2", log1p(col("_linexp_fit_reduced_chi2")))
     val trNames = Seq(
       "tr_bazin_fit_mag_full_amplitude", "tr_bazin_fit_baseline_amplitude_ratio",

@@ -164,17 +164,25 @@ object TranscriptQueries {
       .withColumn("dec", Gorilla.decodeCol(col("block")))
       .select(col("conv_id"),
         size(col("ts")).cast("long").as("n_points"),
-        length(col("block")).cast("long").as("block_bytes"),
         // Spark SQL equality treats NaN = NaN as true, so array
         // equality is the right roundtrip check even with NaN fills
-        (col("dec.ts") === col("ts") && col("dec.vs") === col("vs")).as("roundtrip_ok"))
+        (col("dec.ts") === col("ts") && col("dec.vs") === col("vs")).as("roundtrip_ok"),
+        // compression invariant the oracle can assert: the block is
+        // strictly smaller than the raw 16 B/point encoding (+header)
+        (length(col("block")).cast("long") <
+          lit(16L) * size(col("ts")) + lit(32L)).as("compressed_smaller"))
       .orderBy(col("conv_id"))
   }
 
+  /** Oracle for the gorilla roundtrip query: n_points is recomputed
+    * relationally; roundtrip_ok / compressed_smaller are the encoder's
+    * contract, asserted as literal TRUE — a decode mismatch or an
+    * incompressible block on the Spark side fails the value hash. */
   private val sqlGorilla =
     s"""WITH p AS ($SERIES),
        | b AS (SELECT conv_id, floor(t / 60) AS bucket FROM p GROUP BY 1, 2)
-       |SELECT conv_id, count(*) AS n_points
+       |SELECT conv_id, count(*) AS n_points, TRUE AS roundtrip_ok,
+       | TRUE AS compressed_smaller
        |FROM b GROUP BY conv_id ORDER BY conv_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -190,5 +198,6 @@ object TranscriptQueries {
     "q_tr_tier_1h" -> sqlTier1h,
     "q_tr_tier_1d" -> sqlTier1d,
     "q_tr_features_1h" -> sqlTierFeatures1h,
-    "q_tr_gapfill_1h" -> sqlGapfill1h)
+    "q_tr_gapfill_1h" -> sqlGapfill1h,
+    "q_tr_gorilla" -> sqlGorilla)
 }
