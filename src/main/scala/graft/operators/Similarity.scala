@@ -97,12 +97,15 @@ object Similarity {
     centroids
   }
 
-  /** The k init vectors: smallest `xxhash64(id)` — plans as a
-    * distributed `TakeOrderedAndProject` (per-partition top-k, driver
-    * merge), deterministic, no global sort/window. Exposed so PlanSpec
+  private val mixIdU = udf((x: Long) => Dedup.mix64(x))
+
+  /** The k init vectors: smallest `mix64(id)` (splitmix64 — the
+    * engine-wide deterministic hash, mirrorable in the DuckDB oracle)
+    * — plans as a distributed `TakeOrderedAndProject` (per-partition
+    * top-k, driver merge), no global sort/window. Exposed so PlanSpec
     * can audit the physical plan. */
   def centroidInitSample(vecs: DataFrame, k: Int): DataFrame =
-    vecs.orderBy(xxhash64(col("id")), col("id")).limit(k).select(col("v"))
+    vecs.orderBy(mixIdU(col("id")), col("id")).limit(k).select(col("v"))
 
   /** (cell index, cosine to that centroid). */
   def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): (Int, Double) = {

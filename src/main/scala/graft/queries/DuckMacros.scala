@@ -65,6 +65,13 @@ object DuckMacros {
       s"(SELECT $kc$y AS _my FROM $src)))"
   }
 
+  /** (a + b) mod 2^64, signed in/out */
+  def add64(a: String, b: String): String =
+    s64(s"(${u64(a)} + ${u64(b)}) % $P64")
+
+  /** unsigned min over grouped signed column `v` */
+  def minU64(v: String): String = s64(s"min(${u64(v)})")
+
   /** bit `b` (0-based) of signed 64-bit expr `h`, as 0/1 */
   def bit64(h: String, b: String): String =
     s"CAST((${u64(h)} // CAST(power(2, $b) AS HUGEINT)) % 2 AS INT)"

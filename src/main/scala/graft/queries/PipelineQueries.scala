@@ -172,6 +172,74 @@ object PipelineQueries {
        |FROM sim ORDER BY doc_id""".stripMargin
   }
 
+  /** Full value oracle for MinHash-LSH: the complete operator —
+    * 16-permutation signatures (splitmix64 streams, unsigned mins),
+    * signature-duplicate star pairs, 4-band bucket hashes (seeded
+    * wrapping-multiply init + per-row mix fold), bucket self-join,
+    * signature-agreement estimate and exact-Jaccard confirm — mirrored
+    * in single-statement SQL via [[DuckMacros]]. */
+  private val sqlMinHashLsh: String = {
+    import DuckMacros._
+    val Golden = "-7046029254386353131" // 0x9e3779b97f4a7c15 as signed
+    // shingle hash: FNV over the 2-gram, then mix64 (Dedup.hashString)
+    val hh = mix64Stages(
+      s"(SELECT id, ${fnv64("w")} AS hz FROM post)", "hz", "h", Seq("id"))
+    // permutation seeds: mix64(42 + i * golden) (Dedup.minHashSignature)
+    val seeds = mix64Stages(
+      s"(SELECT i, ${add64("42", mul64("i", Golden))} AS sz " +
+        "FROM (SELECT unnest(range(0, 16)) AS i))", "sz", "si", Seq("i"))
+    // permuted value: mix64(h XOR si)
+    val pv = mix64Stages(
+      s"(SELECT h.id, s.i, ${xor64("h.h", "s.si")} AS vz " +
+        "FROM hh h CROSS JOIN seeds s)", "vz", "v", Seq("id", "i"))
+    // band-hash fold: acc0 = golden * (band+1); 4 rounds of
+    // acc = mix64(acc XOR sig[band*4 + r + 1]) (Dedup.bandHashes)
+    val keep = Seq("id", "b", "sig")
+    val fold = (0 until 4).foldLeft(
+      s"(SELECT id, sig, b, ${mul64(Golden, "(b + 1)")} AS acc " +
+        "FROM reps, (SELECT unnest(range(0, 4)) AS b))") { (src, r) =>
+      mix64Stages(
+        s"(SELECT id, b, sig, ${xor64("acc", s"sig[b * 4 + $r + 1]")} AS fz FROM $src)",
+        "fz", "acc", keep)
+    }
+    s"""WITH g AS (SELECT doc_id AS id,
+       |            list_distinct(CASE WHEN len(toks) >= 2
+       |              THEN list_transform(generate_series(1, len(toks) - 1),
+       |                   k -> toks[k] || ' ' || toks[k + 1])
+       |              ELSE [] END) AS sh
+       |           FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+       |                 FROM documents)),
+       | post AS (SELECT id, unnest(sh) AS w FROM g),
+       | hh AS (SELECT * FROM $hh),
+       | seeds AS (SELECT * FROM $seeds),
+       | pv AS (SELECT * FROM $pv),
+       | sigv AS (SELECT id, i, ${minU64("v")} AS sv FROM pv GROUP BY id, i),
+       | sigl AS (SELECT id, list(sv ORDER BY i) AS sig FROM sigv GROUP BY id),
+       | -- empty shingle sets: signature is all Long.MaxValue (no perm value)
+       | sige AS (SELECT g.id, coalesce(s.sig,
+       |            list_transform(range(0, 16), x -> 9223372036854775807)) AS sig
+       |          FROM g LEFT JOIN sigl s ON g.id = s.id),
+       | tagged AS (SELECT id, sig, min(id) OVER (PARTITION BY sig) AS rep FROM sige),
+       | dup AS (SELECT rep AS id_a, id AS id_b, 1.0 AS est
+       |         FROM tagged WHERE id <> rep),
+       | reps AS (SELECT id, sig FROM tagged WHERE id = rep),
+       | bk AS (SELECT id, b, sig, acc AS bucket FROM $fold),
+       | lsh AS (SELECT a.id AS id_a, b2.id AS id_b,
+       |          CAST(len(list_filter(range(1, 17),
+       |            k -> a.sig[k] = b2.sig[k])) AS DOUBLE) / 16 AS est
+       |         FROM bk a JOIN bk b2
+       |           ON a.b = b2.b AND a.bucket = b2.bucket AND a.id < b2.id
+       |         GROUP BY 1, 2, 3),
+       | pairs AS (SELECT * FROM dup UNION ALL SELECT * FROM lsh),
+       | scored AS (SELECT p.id_a, p.id_b, p.est,
+       |             CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)
+       |               / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) AS j
+       |            FROM pairs p JOIN g ga ON ga.id = p.id_a
+       |            JOIN g gb ON gb.id = p.id_b)
+       |SELECT id_a, id_b, round(est, 4) AS est_jaccard, round(j, 6) AS jaccard
+       |FROM scored ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Full oracle for language ID: the add-one-smoothed top-64 token
     * profile and argmax scoring (TextStats.languageId) re-derived
     * relationally. The predicted label is integer/argmax-valued, so
@@ -265,14 +333,117 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF ANN (inverted file over a deterministic k-means coarse
-    * quantizer, multi-probe) — the second named scale path. */
+  /** Full value oracle for hyperplane-LSH ANN: auto plane count,
+    * +-1 hyperplane components from the splitmix64 stream, sign
+    * signatures via in-order folds, multi-table bucket self-join,
+    * pair dedupe and cosine ranking — all mirrored in SQL. Cosine is
+    * the engine's exact form (ascending-index dot / product of
+    * ascending-index norms), so doubles are bit-equal. */
+  private val sqlEmbedAnnLsh: String = {
+    import DuckMacros._
+    // component key: mix64(seed ^ (p << 32) ^ d), seed = 7 + 1000*tb
+    val comps = mix64Stages(
+      s"(SELECT tb, p, d, ${xor64(xor64("(7 + 1000 * tb)", "p * 4294967296"), "d")} AS ck " +
+        "FROM tpd)", "ck", "ch", Seq("tb", "p", "d"))
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | e2 AS (SELECT id, v,
+       |         sqrt(list_reduce(list_prepend(0.0,
+       |           list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |        FROM e),
+       | pl AS (SELECT GREATEST(2, LEAST(24,
+       |          CAST(ceil(ln(GREATEST(1.0, count(*) / 64.0)) / ln(2)) AS INT))) AS planes
+       |        FROM e),
+       | tpd AS (SELECT tb, unnest(range(0, planes)) AS p, d
+       |         FROM pl, (SELECT unnest(range(0, 4)) AS tb),
+       |              (SELECT unnest(range(0, 64)) AS d)),
+       | comp AS (SELECT tb, p, d,
+       |           CASE WHEN ${bit64("ch", "0")} = 0 THEN 1.0 ELSE -1.0 END AS c
+       |          FROM $comps),
+       | cl AS (SELECT tb, p, list(c ORDER BY d) AS cs FROM comp GROUP BY tb, p),
+       | sg AS (SELECT id, tb, p,
+       |         list_reduce(list_prepend(0.0,
+       |           list_transform(range(1, len(v) + 1), k -> v[k] * cs[k])),
+       |           (a, x) -> a + x) AS s
+       |        FROM e2, cl),
+       | sig AS (SELECT id, tb,
+       |          CAST(sum(CASE WHEN s > 0.0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS INT)
+       |            AS bucket
+       |         FROM sg GROUP BY id, tb),
+       | joined AS (SELECT a.id AS query_id, b.id AS cand_id
+       |            FROM sig a JOIN sig b ON a.tb = b.tb AND a.bucket = b.bucket
+       |              AND a.id <> b.id
+       |            GROUP BY 1, 2),
+       | scored AS (SELECT j.query_id, j.cand_id,
+       |             list_reduce(list_prepend(0.0,
+       |               list_transform(range(1, len(qa.v) + 1), k -> qa.v[k] * qb.v[k])),
+       |               (a, x) -> a + x) / (qa.nrm * qb.nrm) AS cosine
+       |            FROM joined j JOIN e2 qa ON qa.id = j.query_id
+       |            JOIN e2 qb ON qb.id = j.cand_id),
+       | ranked AS (SELECT query_id, cand_id, cosine,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cosine DESC, cand_id) AS rank
+       |            FROM scored)
+       |SELECT query_id, cand_id, round(cosine, 6) + 0 AS cosine, rank
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF ANN (inverted file over a deterministic coarse quantizer,
+    * multi-probe) — the second named scale path. The driver query
+    * runs `iters = 0` (init-only centroids: the k smallest-mix64(id)
+    * vectors) so every float is bit-reproducible in the SQL oracle;
+    * Lloyd refinement is covered by PipelineSpec's recall tests (its
+    * distributed partial sums are summation-order-dependent, which a
+    * value-hash oracle can't mirror). */
   private def qEmbedIvf(s: SparkSession, dir: String): DataFrame = {
     val all = embeds(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Similarity.ivfTopK(all, k = 3, nCells = 16, nProbe = 2)
+    Similarity.ivfTopK(all, k = 3, nCells = 16, nProbe = 2, iters = 0)
       .select(col("query_id"), col("cand_id"),
         round(col("cosine"), 6).as("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Full value oracle for the IVF query: init centroids (16 smallest
+    * mix64(id)), argmax-cosine cell assignment (first-max tie-break),
+    * 2-cell multi-probe, bucket join, dedupe, rank — in SQL, with the
+    * engine's exact float forms (single-pass cosineLocal is
+    * dot/sqrt(na*nb); the pair score is dot/(sqrt(na)*sqrt(nb))). */
+  private val sqlEmbedIvf: String = {
+    import DuckMacros._
+    val mixed = mix64Stages(
+      "(SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, " +
+        "CAST(vec_id AS BIGINT) AS h0 FROM embeddings)", "h0", "h", Seq("id", "v"))
+    def dotf(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), " +
+        s"k -> ($a)[k] * ($b)[k])), (x, y) -> x + y)"
+    def sqf(a: String) =
+      s"list_reduce(list_prepend(0.0, list_transform($a, x -> x * x)), (x, y) -> x + y)"
+    s"""WITH em AS (SELECT * FROM $mixed),
+       | cents AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS cell, v AS cv,
+       |            ${sqf("v")} AS cnb
+       |           FROM em QUALIFY row_number() OVER (ORDER BY h, id) <= 16),
+       | e2 AS (SELECT id, v, ${sqf("v")} AS na, sqrt(${sqf("v")}) AS nrm FROM em),
+       | cellcos AS (SELECT e2.id, cents.cell,
+       |              ${dotf("e2.v", "cents.cv")} / sqrt(e2.na * cents.cnb) AS cos
+       |             FROM e2, cents),
+       | assign AS (SELECT id, cell FROM (SELECT id, cell,
+       |             row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell) AS rk
+       |            FROM cellcos) WHERE rk = 1),
+       | probes AS (SELECT id, cell FROM (SELECT id, cell,
+       |             row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell) AS rk
+       |            FROM cellcos) WHERE rk <= 2),
+       | joined AS (SELECT q.id AS query_id, a.id AS cand_id
+       |            FROM probes q JOIN assign a ON q.cell = a.cell AND q.id <> a.id
+       |            GROUP BY 1, 2),
+       | scored AS (SELECT j.query_id, j.cand_id,
+       |             ${dotf("qa.v", "qb.v")} / (qa.nrm * qb.nrm) AS cosine
+       |            FROM joined j JOIN e2 qa ON qa.id = j.query_id
+       |            JOIN e2 qb ON qb.id = j.cand_id),
+       | ranked AS (SELECT query_id, cand_id, cosine,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cosine DESC, cand_id) AS rank
+       |            FROM scored)
+       |SELECT query_id, cand_id, round(cosine, 6) + 0 AS cosine, rank
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
   // ---------------- language ID (rows-only + PipelineSpec) ----------------
@@ -322,8 +493,11 @@ object PipelineQueries {
     "q_docs_exact_dedup" -> sqlExactDedup,
     "q_docs_ngram_jaccard" -> sqlNgramJaccard,
     "q_docs_simhash" -> sqlSimHash,
+    "q_docs_minhash_lsh" -> sqlMinHashLsh,
     "q_docs_langid" -> sqlLangId,
     "q_embed_topk" -> sqlEmbedTopK,
+    "q_embed_ann_lsh" -> sqlEmbedAnnLsh,
+    "q_embed_ivf" -> sqlEmbedIvf,
     "q_multimodal_meta" -> sqlMultimodalMeta,
     "q_multimodal_decode" -> sqlMultimodalDecode)
 }
