@@ -78,7 +78,21 @@ object StreamingRollup {
   }
 
   /** 1-minute continuous aggregate over a (streaming or batch)
-    * transcript DataFrame with the north-rule schema. */
+    * transcript DataFrame with the north-rule schema.
+    *
+    * Late-data semantics (asserted in StreamingRollupSpec):
+    *  - within the watermark horizon, out-of-order turns merge into
+    *    their bucket's carries (associative sums — converges to the
+    *    batch bucket exactly);
+    *  - PAST the watermark, rows are DROPPED by the streaming
+    *    aggregation (append mode emits a bucket once, when the
+    *    watermark passes its window end; the emitted bucket reflects
+    *    on-time data only);
+    *  - reconciliation of dropped stragglers is the BATCH rebuild
+    *    path ([[graft.engine.Rollup.tierFromTurns]] over the full
+    *    table, resumable via [[graft.engine.Snapshots]]) — the
+    *    standard lambda split: streaming for freshness, periodic
+    *    batch rebuild for completeness. */
   def tier1m(turns: DataFrame, watermark: String = "10 minutes"): DataFrame = {
     val withSeries = turns
       .withColumn("m", length(col("text")).cast("double"))

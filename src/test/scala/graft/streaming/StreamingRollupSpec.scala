@@ -61,6 +61,44 @@ class StreamingRollupSpec extends AnyFunSuite {
     }
   }
 
+  test("late data past the watermark is dropped in append mode; batch rebuild reconciles") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def turn(cid: String, idx: Int, epochSec: Long): Turn =
+      Turn(cid, idx, "user", "x" * 10, "", new java.sql.Timestamp(epochSec * 1000L))
+
+    val t0 = 1704067200L // 2024-01-01T00:00:00Z, bucket B = t0/60
+    val onTime = Seq(turn("c1", 0, t0), turn("c1", 1, t0 + 30))
+    val advance = Seq(turn("c1", 2, t0 + 3600)) // pushes watermark past B
+    val straggler = Seq(turn("c1", 3, t0 + 10)) // now older than the watermark
+
+    val stream = MemoryStream[Turn]
+    val query = StreamingRollup.tier1m(stream.toDF, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tier1m_late")
+      .outputMode("append").start()
+    Seq(onTime, advance, straggler).foreach { chunk =>
+      stream.addData(chunk: _*)
+      query.processAllAvailable()
+    }
+    // flush: move the watermark far ahead so every window closes
+    stream.addData(turn("c1", 4, t0 + 7200))
+    query.processAllAvailable()
+    query.stop()
+
+    val emitted = spark.table("tier1m_late")
+      .filter(col("bucket") === t0 / 60)
+      .select(col("n")).as[Long].collect()
+    // bucket B emitted exactly once, with ONLY the on-time rows —
+    // the straggler was dropped, not merged and not re-emitted
+    assert(emitted.toSeq == Seq(2L), s"expected one closed bucket n=2, got ${emitted.toSeq}")
+
+    // the batch rebuild path sees everything — the reconciliation story
+    val batchN = StreamingRollup.tier1m((onTime ++ advance ++ straggler).toDF)
+      .filter(col("bucket") === t0 / 60)
+      .select(col("n")).as[Long].collect()
+    assert(batchN.toSeq == Seq(3L))
+  }
+
   test("stateful gap detector finds exactly the batch-computed gaps across chunks") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
