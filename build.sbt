@@ -35,4 +35,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // scaling curve; the box has 125g
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-Xms8g", // avoid page-zeroing stalls while the heap grows under load
-)
+) ++ sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

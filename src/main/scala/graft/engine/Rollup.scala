@@ -123,8 +123,40 @@ object Rollup {
   }
 
   /** Finest tier straight from the turn series
-    * (columns conv_id, turn_idx, t, m, w — see [[Transcripts.series]]). */
+    * (columns conv_id, turn_idx, t, m, w — see [[Transcripts.series]]).
+    *
+    * The per-bucket state is the native [[graft.plans.BucketAggExpr]]
+    * typed aggregate (primitive-array buffers, kernels run in the
+    * aggregate's finish): one ObjectHashAggregate shuffle, no
+    * struct-array materialization and no UDF boundary on the engine's
+    * dominant path. Bit-parity with the collect_list/UDF form (kept
+    * as [[tierFromTurnsCollect]]) is asserted in RollupParitySpec. */
   def tierFromTurns(series: DataFrame, window: Long,
+      features: Seq[Feature] = defaultFeatures): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val agg = graft.plans.BucketAggExpr(
+      GraftSqlBridge.expressionOf(col("t").cast("double")),
+      GraftSqlBridge.expressionOf(col("turn_idx").cast("long")),
+      GraftSqlBridge.expressionOf(col("m").cast("double")),
+      GraftSqlBridge.expressionOf(col("w").cast("double")),
+      features)
+    val names = graft.operators.SeriesFeatures.outputNames(features)
+    series
+      .groupBy(col("conv_id"), floor(col("t") / window.toDouble).cast("long").as("bucket"))
+      .agg(GraftSqlBridge.aggColumn(agg).as("pt"))
+      .select(
+        (Seq(
+          col("conv_id"), col("bucket"),
+          ((col("bucket") + 0.5) * window.toDouble).as("bucket_t"),
+          col("pt.n").as("n"), col("pt.sumW").as("sum_w"),
+          col("pt.sumMw").as("sum_mw"), col("pt.binM").as("bin_m"),
+          col("pt.binW").as("bin_w")) ++
+          names.zipWithIndex.map { case (nm, i) => col("pt.feats").getItem(i).as(nm) }): _*)
+  }
+
+  /** The declarative collect_list/UDF form of [[tierFromTurns]] —
+    * retained as the parity oracle for the native aggregate. */
+  def tierFromTurnsCollect(series: DataFrame, window: Long,
       features: Seq[Feature] = defaultFeatures): DataFrame = {
     // 4-field struct only: the raw-turn collect is the engine's
     // dominant shuffle; carries are derived at finish (evalBucketRaw)
@@ -182,8 +214,38 @@ object Rollup {
   /** Cascade: coarser tier from a finer tier's points. The finer
     * bucket index is the stable order key; t of a tier point is its
     * bucket center, m its weighted mean, w its mean weight —
-    * reference Bins-then-features semantics (bins.rs:10-33). */
+    * reference Bins-then-features semantics (bins.rs:10-33). Same
+    * native typed-aggregate shape as [[tierFromTurns]], with the
+    * carries riding the buffer. */
   def tierFromTier(finer: DataFrame, window: Long,
+      features: Seq[Feature] = defaultFeatures): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val agg = graft.plans.CarryBucketAggExpr(
+      GraftSqlBridge.expressionOf(col("bucket_t").cast("double")),
+      GraftSqlBridge.expressionOf(col("bucket").cast("long")),
+      GraftSqlBridge.expressionOf(col("bin_m").cast("double")),
+      GraftSqlBridge.expressionOf(col("bin_w").cast("double")),
+      GraftSqlBridge.expressionOf(col("n").cast("long")),
+      GraftSqlBridge.expressionOf(col("sum_w").cast("double")),
+      GraftSqlBridge.expressionOf(col("sum_mw").cast("double")),
+      features)
+    val names = graft.operators.SeriesFeatures.outputNames(features)
+    finer
+      .groupBy(col("conv_id"), floor(col("bucket_t") / window.toDouble).cast("long").as("bucket"))
+      .agg(GraftSqlBridge.aggColumn(agg).as("pt"))
+      .select(
+        (Seq(
+          col("conv_id"), col("bucket"),
+          ((col("bucket") + 0.5) * window.toDouble).as("bucket_t"),
+          col("pt.n").as("n"), col("pt.sumW").as("sum_w"),
+          col("pt.sumMw").as("sum_mw"), col("pt.binM").as("bin_m"),
+          col("pt.binW").as("bin_w")) ++
+          names.zipWithIndex.map { case (nm, i) => col("pt.feats").getItem(i).as(nm) }): _*)
+  }
+
+  /** The declarative collect_list/UDF form of [[tierFromTier]] —
+    * retained as the parity oracle for the native carry aggregate. */
+  def tierFromTierCollect(finer: DataFrame, window: Long,
       features: Seq[Feature] = defaultFeatures): DataFrame = {
     val grouped = finer
       .groupBy(col("conv_id"), floor(col("bucket_t") / window.toDouble).cast("long").as("bucket"))

@@ -74,6 +74,18 @@ class RollupParitySpec extends AnyFunSuite {
     series.unpersist()
   }
 
+  test("native bucket aggregate is bit-identical to the collect_list/UDF form") {
+    val turns = Transcripts.synthetic(spark, nConvs = 40, meanTurns = 45, seed = 23L)
+    val series = Transcripts.series(turns.toDF)
+    val native = sparkTierText(Rollup.tierFromTurns(series, 60L, features))
+    val collect = sparkTierText(Rollup.tierFromTurnsCollect(series, 60L, features))
+    assert(native == collect)
+    val t1m = Rollup.tierFromTurns(series, 60L, features)
+    val nativeCascade = sparkTierText(Rollup.tierFromTier(t1m, 3600L, features))
+    val collectCascade = sparkTierText(Rollup.tierFromTierCollect(t1m, 3600L, features))
+    assert(nativeCascade == collectCascade)
+  }
+
   test("tier points are invariant to input partitioning") {
     val turns = Transcripts.synthetic(spark, nConvs = 30, meanTurns = 30, seed = 11L)
     val s1 = Transcripts.series(turns.toDF.repartition(1))
