@@ -415,16 +415,118 @@ object EventQueries {
        |FROM f ORDER BY user_id""".stripMargin
   }
 
-  /** Kernels with no SQL-expressible oracle (special functions / argmax
-    * scans); validated against the reference port in `sbt test`, driver
-    * gets a rows-only check. */
+  /** Kernels whose oracle would need special functions DuckDB lacks
+    * (ln_erfc, regularized incomplete gamma); validated against the
+    * reference port + scipy goldens in `sbt test`, driver gets a
+    * rows-only check. */
   private def qSpecial(s: SparkSession, dir: String): DataFrame =
     extracted(s, dir,
-      Seq(Features.AndersonDarlingNormal, Features.BiweightScale(),
-        Features.Chi2Pvar, Features.OtsuSplit),
-      Seq("anderson_darling_normal", "biweight_scale", "chi2_pvar",
-        "otsu_mean_diff", "otsu_std_lower", "otsu_std_upper",
-        "otsu_lower_to_all_ratio"))
+      Seq(Features.AndersonDarlingNormal, Features.Chi2Pvar),
+      Seq("anderson_darling_normal", "chi2_pvar"))
+
+  /** Otsu split + Tukey biweight scale — sequential-scan kernels whose
+    * exact fold IS expressible in DuckDB (struct-accumulator
+    * list_reduce), so they carry a full value oracle. */
+  private def qOtsuBiweight(s: SparkSession, dir: String): DataFrame =
+    extracted(s, dir,
+      Seq(Features.OtsuSplit, Features.BiweightScale()),
+      Seq("otsu_mean_diff", "otsu_std_lower", "otsu_std_upper",
+        "otsu_lower_to_all_ratio", "biweight_scale"))
+
+  /** The Otsu/biweight oracle: every reference loop is mirrored as an
+    * in-order DuckDB fold — prefix scan left-to-right, suffix scan
+    * right-to-left (the reference's reversed cumsum), argmax with
+    * strict >, biweight num/den accumulation in (t, idx) order — so
+    * every double matches bit-for-bit before the shared rounding. */
+  private val sqlOtsuBiweight: String = {
+    // DuckDB 1.0 list_reduce pitfalls, found the hard way: (a) LIST-
+    // valued accumulator fields reset every step, and (b) lambdas that
+    // capture OUTER ROW COLUMNS give wrong results on multi-row
+    // batches (single-row evaluation is fine). So: all row-dependent
+    // math lives in list_transform (safe — every passing oracle uses
+    // it) or at exploded-row level, and every list_reduce lambda is
+    // PURE (acc + element only). Prefix/suffix sums are fresh in-order
+    // folds per split point k — O(n²) adds per group, exact reference
+    // op order: prefix ascending from the left, suffix accumulated
+    // right-to-left like the reference's reversed cumsum.
+    val prefK = // sum of arr[0..k] (0-based), ascending
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr[1 : k + 1]), (a, x) -> a + x)"
+    val sufK = // sum of arr[k+1..n-1] (0-based), accumulated right-to-left
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_reverse(arr[k + 2 : CAST(n AS INT)])), (a, x) -> a + x)"
+    def sumFold(l: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (a, x) -> a + x)"
+    def sq2Fold(l: String, mu: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform($l, x -> (x - $mu) * (x - $mu))), (a, x) -> a + x)"
+    // medianOfSorted: midpoint of central elements (NOT the R-5 ppf)
+    def medSorted(arr: String, n: String) =
+      s"CASE WHEN ($n) % 2 = 0 THEN 0.5 * (($arr)[($n - 1) // 2 + 1] + ($arr)[($n - 1) // 2 + 2]) " +
+        s"ELSE ($arr)[($n - 1) // 2 + 1] END"
+    // biweight: per-element contributions via list_transform (outer
+    // captures med/denom are safe there), then a PURE struct fold in
+    // (t, idx) order; excluded elements contribute +0.0, which is
+    // bit-exact vs the reference's skip for finite accumulators
+    val bwContrib =
+      """list_transform(ml, x -> CASE
+        | WHEN ((x - med) / denom) * ((x - med) / denom) < 1.0
+        | THEN {nu: (x - med) * (x - med)
+        |         * (1.0 - ((x - med) / denom) * ((x - med) / denom))
+        |         * (1.0 - ((x - med) / denom) * ((x - med) / denom))
+        |         * (1.0 - ((x - med) / denom) * ((x - med) / denom))
+        |         * (1.0 - ((x - med) / denom) * ((x - med) / denom)),
+        |       de: (1.0 - ((x - med) / denom) * ((x - med) / denom))
+        |         * (1.0 - 5.0 * ((x - med) / denom) * ((x - med) / denom))}
+        | ELSE {nu: CAST(0.0 AS DOUBLE), de: CAST(0.0 AS DOUBLE)} END)""".stripMargin
+    val bwFold =
+      s"""list_reduce(
+        | list_prepend({nu: CAST(0.0 AS DOUBLE), de: CAST(0.0 AS DOUBLE)}, $bwContrib),
+        | (a, e) -> {nu: a.nu + e.nu, de: a.de + e.de})""".stripMargin
+    s"""WITH p AS ($PTS),
+       | g AS (SELECT user_id, count(*) AS n, list_sort(list(m)) AS arr,
+       |        list(m ORDER BY t, idx) AS ml
+       |       FROM p GROUP BY user_id HAVING $Guard2),
+       | ks AS (SELECT user_id, n, arr, unnest(range(0, n - 1)) AS k FROM g),
+       | pk AS (SELECT user_id, n, k, $prefK AS pref, $sufK AS suf FROM ks),
+       | ic AS (SELECT user_id, k,
+       |         ((k + 1) / CAST(n AS DOUBLE) * (1.0 - (k + 1) / CAST(n AS DOUBLE)))
+       |           * (pref / (k + 1) - suf / (n - 1 - k))
+       |           * (pref / (k + 1) - suf / (n - 1 - k)) AS icv
+       |        FROM pk),
+       | -- first-max-wins argmax = the reference's strict `icv > bestVar`
+       | ot AS (SELECT b.user_id, g.n, g.arr, g.ml, b.bk FROM (
+       |         SELECT user_id, CAST(k AS INT) AS bk,
+       |          row_number() OVER (PARTITION BY user_id ORDER BY icv DESC, k) AS rk
+       |         FROM ic) b JOIN g ON b.user_id = g.user_id AND b.rk = 1),
+       | cls AS (SELECT user_id, n, arr, ml, bk + 1 AS lowlen,
+       |          arr[1 : bk + 1] AS lower, arr[bk + 2 : n] AS upper
+       |         FROM ot),
+       | ost AS (SELECT user_id, n, arr, ml, lowlen,
+       |          ${sumFold("lower")} / lowlen AS mlow,
+       |          ${sumFold("upper")} / (n - lowlen) AS mup,
+       |          CASE WHEN lowlen = 1 THEN 0.0
+       |           ELSE sqrt(${sq2Fold("lower", s"(${sumFold("lower")} / lowlen)")} / (lowlen - 1)) END AS slow,
+       |          CASE WHEN n - lowlen = 1 THEN 0.0
+       |           ELSE sqrt(${sq2Fold("upper", s"(${sumFold("upper")} / (n - lowlen))")} / (n - lowlen - 1)) END AS sup
+       |         FROM cls),
+       | bwm AS (SELECT user_id, n, ml, mlow, mup, slow, sup, lowlen,
+       |          ${medSorted("arr", "n")} AS med,
+       |          ${medSorted("list_sort(list_transform(ml, x -> abs(x - " + medSorted("arr", "n") + ")))", "n")} AS mad
+       |         FROM ost),
+       | bwf AS (SELECT user_id, n, mlow, mup, slow, sup, lowlen, mad, $bwFold AS f
+       |         FROM (SELECT *, 9.0 * mad AS denom FROM bwm)),
+       | outv AS (SELECT user_id, mup - mlow AS omd, slow, sup,
+       |          CAST(lowlen AS DOUBLE) / n AS ratio,
+       |          CASE WHEN mad <= 0.0 THEN 0.0
+       |           ELSE sqrt(n * f.nu / (f.de * f.de)) END AS bws
+       |         FROM bwf)
+       |SELECT user_id,
+       | round(omd + $JitterSql, $R) + 0 AS otsu_mean_diff,
+       | round(slow + $JitterSql, $R) + 0 AS otsu_std_lower,
+       | round(sup + $JitterSql, $R) + 0 AS otsu_std_upper,
+       | round(ratio + $JitterSql, $R) + 0 AS otsu_lower_to_all_ratio,
+       | round(bws + $JitterSql, $R) + 0 AS biweight_scale
+       |FROM outv ORDER BY user_id""".stripMargin
+  }
 
   /** Same R-5 quantile battery through the NATIVE Catalyst expression
     * ([[graft.plans.R5PpfExpression]], codegen'd — no UDF boundary)
@@ -592,6 +694,7 @@ object EventQueries {
     "q_linear_fits" -> qLinearFits _,
     "q_stetson_roms" -> qStetsonRoms _,
     "q_special_kernels" -> qSpecial _,
+    "q_otsu_biweight" -> qOtsuBiweight _,
     "q_tier_1m" -> qTier1m _,
     "q_tier_cascade_1h" -> qTierCascade1h _,
     "q_gapfill_locf" -> qGapfillLocf _,
@@ -615,5 +718,6 @@ object EventQueries {
     "q_tier_1m" -> sqlTier1m,
     "q_tier_cascade_1h" -> sqlTierCascade1h,
     "q_gapfill_locf" -> sqlGapfillLocf,
-    "q_bins_features" -> sqlBinsFeatures)
+    "q_bins_features" -> sqlBinsFeatures,
+    "q_otsu_biweight" -> sqlOtsuBiweight)
 }
