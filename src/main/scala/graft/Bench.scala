@@ -131,6 +131,71 @@ object Bench {
       }
       s.stop()
     }
+    // ---- phase 3: TRUE multi-executor scaling (local-cluster) ----
+    // Separate executor JVMs under a standalone master/worker pair:
+    // serialized shuffles through the network stack, per-executor
+    // heaps — the real add-executors model (not thread scaling).
+    // 1 executor -> 4 executors at 2 cores each (2 -> 8 busy cores:
+    // the same under-saturation regime as the thread-level gate; at
+    // 4 cores each the 16-core point crosses this socket's measured
+    // memory-bandwidth ceiling and the ratio conflates saturation
+    // with scaling). Efficiency = thr(4 exec) / (4 x thr(1 exec)),
+    // measured on a half-size input so the block fits the bench
+    // budget (the ratio is input-size-independent at 30s+ runs).
+    def clusterSession(executors: Int): SparkSession = {
+      val appCp = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      val s = SparkSession.builder()
+        .master(s"local-cluster[$executors,2,9216]")
+        .config("spark.executor.memory", "8g")
+        .config("spark.executor.extraClassPath", appCp)
+        .config("spark.sql.shuffle.partitions", 256)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "6m")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    val clusterBlock: String =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_CLUSTER")) "null"
+      else try {
+        // warm-up input: half size (JIT/codegen warm is data-size-
+        // independent); the TIMED build runs on the full input so the
+        // small cascade stages' fixed per-stage costs (job barriers,
+        // commit protocol) are amortized, as they would be at fleet
+        // scale. 4-exec level first; settle between levels so the
+        // previous standalone cluster's teardown can't contend.
+        val wPath = s"$benchRoot/transcripts_half.parquet"
+        val sGen = session(cpus)
+        Transcripts.synthetic(sGen, nConvs / 2, meanTurns = 40, seed = 43L,
+          partitions = 2 * cpus).write.mode("overwrite").parquet(wPath)
+        sGen.stop()
+        val secsByExec = Seq(4, 1).map { e =>
+          val s = clusterSession(e)
+          try {
+            buildTiers(s, wPath, s"$benchRoot/cwarm_$e") // warm-up, discarded
+            e -> buildTiers(s, inPath, s"$benchRoot/ctiers_$e")
+          } finally {
+            s.stop()
+            Thread.sleep(5000)
+          }
+        }.toMap
+        val thr1 = nTurns / secsByExec(1)
+        val thr4 = nTurns / secsByExec(4)
+        val eff = thr4 / (4.0 * thr1)
+        s"""{"mode":"local-cluster","cores_per_executor":2,"turns":$nTurns,""" +
+          s""""secs_exec_1":${f"${secsByExec(1)}%.3f"},"secs_exec_4":${f"${secsByExec(4)}%.3f"},""" +
+          s""""turns_per_sec_exec_1":${f"$thr1%.1f"},"turns_per_sec_exec_4":${f"$thr4%.1f"},""" +
+          s""""scaling_efficiency_1_to_4_executors":${f"$eff%.3f"}}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] cluster phase failed: ${e.getMessage}")
+          "null"
+      }
+
     val (secsN, metricsN) = (best(nLow), metricsByLevel(nLow))
     val (secs4N, metrics4N) = (best(nMid), metricsByLevel(nMid))
     val (secsMax, metricsMax) = (best(cpus), metricsByLevel(cpus))
@@ -152,7 +217,7 @@ object Bench {
         s""""scaling_efficiency_n_to_4n":${f"$eff4x%.3f"},""" +
         s""""scaling_efficiency_n_to_max":${f"$effMax%.3f"},""" +
         s""""partition_metrics_n":$metricsN,"partition_metrics_4n":$metrics4N,""" +
-        s""""partition_metrics_max":$metricsMax}"""
+        s""""partition_metrics_max":$metricsMax,"cluster":$clusterBlock}"""
     println(
       s"""{"metric":"rollup_turns_per_sec","value":${f"$thrMax%.1f"},"unit":"turns/sec",""" +
         s""""queries":$qs,"total_query_sec":${f"$total%.3f"},"rollup":$rollup,"sf":"$sfDir"}""")

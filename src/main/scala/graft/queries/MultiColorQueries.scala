@@ -34,7 +34,7 @@ object MultiColorQueries {
 
   private val PTS =
     s"SELECT user_id, event_type AS band, epoch(ts) - $TBase AS t, value AS m, " +
-      "1.0/(1.0 + (event_id % 7)) AS w FROM events"
+      "1.0/(1.0 + (event_id % 7)) AS w, event_id AS idx FROM events"
 
   // ---------------- PerBandFeature (per_band_feature.rs:15-26) ----------------
 
@@ -113,6 +113,96 @@ object MultiColorQueries {
        | round(stddev_pop(band_wmean) + $JitterSql, $R) + 0 AS color_spread
        |FROM b GROUP BY user_id HAVING count(*) >= 2 ORDER BY user_id""".stripMargin
 
+  // ------------- MultiColorExtractor (multicolor_extractor.rs:14-105) -------------
+
+  /** The dedicated extractor type evaluated distributed: colors +
+    * spread + per-band monochrome features in ONE concatenated pass
+    * through [[graft.operators.McSeriesFeatures]], with per-feature
+    * fill on missing bands (eval_or_fill_multicolor). */
+  private def qMcExtractor(s: SparkSession, dir: String): DataFrame = {
+    import graft.ref.{Features, McExtractor, McFeature}
+    import scala.collection.immutable.SortedSet
+    val ex = McExtractor(Seq(
+      McFeature.ColorOfMedian("click", "view"),
+      McFeature.ColorOfMaximum("click", "view"),
+      McFeature.ColorOfMinimum("click", "view"),
+      McFeature.ColorSpread(SortedSet("click", "error", "purchase", "signup", "view")),
+      McFeature.PerBand(Features.Median, "purchase"),
+      McFeature.PerBand(Features.Amplitude, "signup")))
+    val in = s.read.parquet(s"$dir/events.parquet").select(
+      col("user_id"),
+      col("event_type").as("band"),
+      (unix_micros(col("ts").cast("timestamp")) / 1000000.0 - TBase).as("t"),
+      col("value").as("m"),
+      (lit(1.0) / (lit(1.0) + col("event_id") % 7)).as("w"),
+      col("event_id").as("idx"))
+    val base = graft.operators.McSeriesFeatures.extract(in, "user_id", "band", ex)
+    ex.names.foldLeft(base) { (d, n) => d.withColumn(n, r(col(n))) }
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB mirror: midpoint medians, in-(t)-order weighted-mean folds
+    * for the spread (the single-node extractor folds points in sorted
+    * time order), NaN fills for missing bands. */
+  private val sqlMcExtractor: String = {
+    def medBand(b: String) =
+      s"""(SELECT CASE WHEN count(*) = 0 THEN NULL
+         |  WHEN count(*) % 2 = 0
+         |  THEN 0.5 * (list_sort(list(m))[(count(*) - 1) // 2 + 1]
+         |            + list_sort(list(m))[(count(*) - 1) // 2 + 2])
+         |  ELSE list_sort(list(m))[(count(*) - 1) // 2 + 1] END
+         | FROM p i WHERE i.user_id = u.user_id AND i.band = '$b')""".stripMargin
+        .replaceAll("\\s+", " ")
+    s"""WITH p AS ($PTS),
+       | u AS (SELECT DISTINCT user_id FROM p),
+       | bm AS (SELECT user_id, band,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w * m ORDER BY t, idx)),
+       |           (a, x) -> a + x)
+       |          / list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY t, idx)),
+       |           (a, x) -> a + x) AS wmean,
+       |         max(m) AS mx, min(m) AS mn, count(*) AS n
+       |        FROM p GROUP BY user_id, band),
+       | sp AS (SELECT user_id, count(*) AS nb,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list(wmean ORDER BY band)), (a, x) -> a + x) / count(*) AS mu,
+       |         list(wmean ORDER BY band) AS wms
+       |        FROM bm GROUP BY user_id),
+       | sp2 AS (SELECT user_id, nb,
+       |          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |            list_transform(wms, x -> (x - mu) * (x - mu))), (a, x) -> a + x) / nb)
+       |           AS spread
+       |         FROM sp),
+       | piv AS (SELECT u.user_id,
+       |          ${medBand("click")} AS med_c, ${medBand("view")} AS med_v,
+       |          ${medBand("purchase")} AS med_p,
+       |          (SELECT mx FROM bm WHERE bm.user_id = u.user_id AND band = 'click') AS mx_c,
+       |          (SELECT mx FROM bm WHERE bm.user_id = u.user_id AND band = 'view') AS mx_v,
+       |          (SELECT mn FROM bm WHERE bm.user_id = u.user_id AND band = 'click') AS mn_c,
+       |          (SELECT mn FROM bm WHERE bm.user_id = u.user_id AND band = 'view') AS mn_v,
+       |          (SELECT (mx - mn) / 2 FROM bm WHERE bm.user_id = u.user_id AND band = 'signup') AS amp_s
+       |         FROM u),
+       | o AS (SELECT p2.user_id,
+       |        CASE WHEN med_c IS NULL OR med_v IS NULL THEN CAST('nan' AS DOUBLE)
+       |         ELSE med_c - med_v END AS cmed,
+       |        CASE WHEN mx_c IS NULL OR mx_v IS NULL THEN CAST('nan' AS DOUBLE)
+       |         ELSE mx_c - mx_v END AS cmax,
+       |        CASE WHEN mn_c IS NULL OR mn_v IS NULL THEN CAST('nan' AS DOUBLE)
+       |         ELSE mn_c - mn_v END AS cmin,
+       |        CASE WHEN s2.nb < 5 THEN CAST('nan' AS DOUBLE) ELSE s2.spread END AS spr,
+       |        coalesce(med_p, CAST('nan' AS DOUBLE)) AS medp,
+       |        coalesce(amp_s, CAST('nan' AS DOUBLE)) AS amps,
+       |        s2.nb
+       |       FROM piv p2 JOIN sp2 s2 ON p2.user_id = s2.user_id)
+       |SELECT user_id, nb AS n_bands,
+       | round(cmed + $JitterSql, $R) + 0 AS color_median_click_view,
+       | round(cmax + $JitterSql, $R) + 0 AS color_maximum_click_view,
+       | round(cmin + $JitterSql, $R) + 0 AS color_minimum_click_view,
+       | round(spr + $JitterSql, $R) + 0 AS color_spread_click_error_purchase_signup_view,
+       | round(medp + $JitterSql, $R) + 0 AS median_purchase,
+       | round(amps + $JitterSql, $R) + 0 AS amplitude_signup
+       |FROM o ORDER BY user_id""".stripMargin
+  }
+
   // ---------------- MultiColorBins (multicolor_bins.rs:20-47) ----------------
 
   private def qMcBins(s: SparkSession, dir: String): DataFrame =
@@ -174,6 +264,7 @@ object MultiColorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mc_per_band" -> qPerBand _,
+    "q_mc_extractor" -> qMcExtractor _,
     "q_mc_colors" -> qColors _,
     "q_mc_color_spread" -> qColorSpread _,
     "q_mc_bins" -> qMcBins _,
@@ -181,6 +272,7 @@ object MultiColorQueries {
 
   val oracles: Map[String, String] = Map(
     "q_mc_per_band" -> sqlPerBand,
+    "q_mc_extractor" -> sqlMcExtractor,
     "q_mc_colors" -> sqlColors,
     "q_mc_color_spread" -> sqlColorSpread,
     "q_mc_bins" -> sqlMcBins,
