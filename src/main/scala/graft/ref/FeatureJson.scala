@@ -173,6 +173,101 @@ object FeatureJson {
     }
   }
 
+  // ---------------- schema emission ----------------
+
+  /** JSON Schema (draft-07) of the configuration format accepted by
+    * [[parseOne]] — the reference's schemars surface (its extractor
+    * emits a schema document for config validation,
+    * extractor.rs:180-184). Every feature is an externally-tagged
+    * single-key object; nested features `$ref` the root definition. */
+  lazy val schema: String = {
+    val root = mapper.createObjectNode()
+    root.put("$schema", "http://json-schema.org/draft-07/schema#")
+    root.put("title", "Feature")
+    root.put("$ref", "#/definitions/feature")
+    val defs = root.putObject("definitions")
+    val feature = defs.putObject("feature")
+    feature.put("type", "object")
+    feature.put("minProperties", 1)
+    feature.put("maxProperties", 1)
+    val oneOf = feature.putArray("oneOf")
+
+    def variant(tag: String)(fill: ObjectNode => Unit): Unit = {
+      val v = oneOf.addObject()
+      v.put("type", "object")
+      val props = v.putObject("properties")
+      val body = props.putObject(tag)
+      body.put("type", "object")
+      fill(body)
+      v.putArray("required").add(tag)
+      v.put("additionalProperties", false)
+    }
+    def num(o: ObjectNode, name: String, default: Double): Unit = {
+      val p = o.`with`("properties").putObject(name)
+      p.put("type", "number")
+      p.put("default", default)
+    }
+    simpleByName.keys.toSeq.sorted.foreach(t => variant(t) { b =>
+      b.putObject("properties"); b.put("additionalProperties", false)
+    })
+    variant("BeyondNStd")(num(_, "nstd", 1.0))
+    variant("BiweightScale")(num(_, "c", 9.0))
+    variant("InterPercentileRange")(num(_, "quantile", 0.25))
+    variant("MagnitudePercentageRatio") { b =>
+      num(b, "quantile_numerator", 0.4); num(b, "quantile_denominator", 0.05)
+    }
+    variant("MedianBufferRangePercentage")(num(_, "quantile", 0.1))
+    variant("PercentDifferenceMagnitudePercentile")(num(_, "quantile", 0.05))
+    variant("Periodogram") { b =>
+      val props = b.putObject("properties")
+      props.putObject("peaks").put("type", "integer")
+      props.putObject("resolution").put("type", "number").put("default", 10.0)
+      props.putObject("max_freq_factor").put("type", "number").put("default", 1.0)
+      props.putObject("nyquist").put("type", "string")
+        .put("pattern", "^(average|median|quantile:.*|fixed:.*)$")
+      val norm = props.putObject("normalization")
+      norm.put("type", "string")
+      Seq("psd", "standard", "model", "log").foreach(norm.withArray("enum").add)
+      props.putObject("fast").put("type", "boolean")
+      val pf = props.putObject("phase_features")
+      pf.put("type", "array")
+      pf.putObject("items").put("$ref", "#/definitions/feature")
+    }
+    variant("Transformed") { b =>
+      val props = b.putObject("properties")
+      props.putObject("feature").put("$ref", "#/definitions/feature")
+      props.putObject("transformer").put("type", "string")
+        .put("pattern", "^(identity|arcsinh|ln1p|lg|sqrt|clipped_lg:.*)$")
+      b.putArray("required").add("feature").add("transformer")
+    }
+    Seq("BazinFit", "VillarFit", "LinexpFit").foreach(t => variant(t) { b =>
+      val props = b.putObject("properties")
+      props.putObject("niterations").put("type", "integer")
+      props.putObject("seed").put("type", "integer")
+    })
+    variant("Bins") { b =>
+      val props = b.putObject("properties")
+      props.putObject("window").put("type", "number").put("default", 1.0)
+      props.putObject("offset").put("type", "number").put("default", 0.0)
+      val fs = props.putObject("features")
+      fs.put("type", "array")
+      fs.putObject("items").put("$ref", "#/definitions/feature")
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** Schema of an extractor configuration: a JSON array of features. */
+  lazy val extractorSchema: String = {
+    val root = mapper.createObjectNode()
+    root.put("$schema", "http://json-schema.org/draft-07/schema#")
+    root.put("title", "FeatureExtractor")
+    root.put("type", "array")
+    root.putObject("items").put("$ref", "#/definitions/feature")
+    root.set[JsonNode]("definitions",
+      mapper.readTree(schema).get("definitions"))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
   private val simpleByName: Map[String, Feature] = {
     import Features._
     Seq(Amplitude, AndersonDarlingNormal, Chi2Pvar, Cusum, Duration, Eta, EtaE,

@@ -59,4 +59,33 @@ class FeatureJsonSpec extends AnyFunSuite {
       FeatureJson.parseOne("""{"NoSuchFeature":{}}""")
     }
   }
+
+  test("schema: draft-07 document covers every serializable feature form") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val m = new ObjectMapper()
+    val root = m.readTree(FeatureJson.schema)
+    assert(root.get("$schema").asText().contains("draft-07"))
+    val oneOf = root.get("definitions").get("feature").get("oneOf")
+    val tags = (0 until oneOf.size()).map(i =>
+      oneOf.get(i).get("required").get(0).asText()).toSet
+    // every tag the parser accepts appears exactly once in the schema
+    val expected = Set("Amplitude", "BeyondNStd", "BiweightScale", "Periodogram",
+      "Transformed", "BazinFit", "VillarFit", "LinexpFit", "Bins",
+      "InterPercentileRange", "MagnitudePercentageRatio", "StetsonK")
+    expected.foreach(t => assert(tags.contains(t), s"schema missing $t"))
+    assert(oneOf.size() == tags.size, "duplicate variant tags")
+    // serialized configs conform structurally: single-key objects whose
+    // key is a schema variant
+    val cfg = m.readTree(FeatureJson.toJson(Seq(
+      Features.Amplitude, Features.BeyondNStd(2.0),
+      Transformed(Features.Amplitude, Transformer.Ln1p))))
+    (0 until cfg.size()).foreach { i =>
+      val o = cfg.get(i)
+      assert(o.size() == 1 && tags.contains(o.fieldNames().next()))
+    }
+    // extractor schema is an array of the same definition
+    val ex = m.readTree(FeatureJson.extractorSchema)
+    assert(ex.get("type").asText() == "array")
+    assert(ex.get("definitions").get("feature").get("oneOf").size() == oneOf.size())
+  }
 }
