@@ -135,20 +135,23 @@ object Bench {
     // Separate executor JVMs under a standalone master/worker pair:
     // serialized shuffles through the network stack, per-executor
     // heaps — the real add-executors model (not thread scaling).
-    // 1 executor -> 4 executors at 2 cores each (2 -> 8 busy cores:
-    // the same under-saturation regime as the thread-level gate; at
-    // 4 cores each the 16-core point crosses this socket's measured
-    // memory-bandwidth ceiling and the ratio conflates saturation
-    // with scaling). Efficiency = thr(4 exec) / (4 x thr(1 exec)),
-    // measured on a half-size input so the block fits the bench
-    // budget (the ratio is input-size-independent at 30s+ runs).
+    // Pairing (measured, see BASELINE.md): 2 -> 8 executors at ONE
+    // core each. 2..8 busy cores stays under this socket's
+    // memory-bandwidth saturation, and BOTH levels pay a majority
+    // remote-shuffle fraction (50% vs 87.5%) — a 1-executor baseline
+    // fetches its whole shuffle locally, which no real cluster node
+    // does, and 4-core executors put the upper level at 16 cores,
+    // past saturation. 64 shuffle partitions at both levels (plan
+    // fixed across levels; fewer per-stage fixed costs than 256 on
+    // the second/third cascade stages, which are fleet-trivial but
+    // benchmark-visible). Efficiency = thr(8) / (4 x thr(2)).
     def clusterSession(executors: Int): SparkSession = {
       val appCp = new java.io.File("target/scala-2.13/classes").getAbsolutePath
       val s = SparkSession.builder()
-        .master(s"local-cluster[$executors,2,9216]")
-        .config("spark.executor.memory", "8g")
+        .master(s"local-cluster[$executors,1,9216]")
+        .config("spark.executor.memory", "4g")
         .config("spark.executor.extraClassPath", appCp)
-        .config("spark.sql.shuffle.partitions", 256)
+        .config("spark.sql.shuffle.partitions", 64)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -172,24 +175,46 @@ object Bench {
         val sGen = session(cpus)
         Transcripts.synthetic(sGen, nConvs / 2, meanTurns = 40, seed = 43L,
           partitions = 2 * cpus).write.mode("overwrite").parquet(wPath)
+        val cTurns = sGen.read.parquet(wPath).count()
         sGen.stop()
-        val secsByExec = Seq(4, 1).map { e =>
+        // timed on the half input (full input at 8 executors squeezes
+        // this box's page cache under the bench driver's heap and
+        // conflates memory pressure with scaling — measured)
+        def staged(s: SparkSession, in: String, out: String): (Double, Double) = {
+          val t0 = System.nanoTime()
+          val series = Transcripts.series(s.read.parquet(in))
+          Rollup.tierFromTurns(series, 60L).write.mode("overwrite").parquet(s"$out/tier=1m")
+          val t1 = System.nanoTime()
+          Rollup.tierFromTier(s.read.parquet(s"$out/tier=1m"), 3600L)
+            .write.mode("overwrite").parquet(s"$out/tier=1h")
+          Rollup.tierFromTier(s.read.parquet(s"$out/tier=1h"), 86400L)
+            .write.mode("overwrite").parquet(s"$out/tier=1d")
+          ((System.nanoTime() - t0) / 1e9, (t1 - t0) / 1e9)
+        }
+        val byExec = Seq(8, 2).map { e =>
           val s = clusterSession(e)
           try {
-            buildTiers(s, wPath, s"$benchRoot/cwarm_$e") // warm-up, discarded
-            e -> buildTiers(s, inPath, s"$benchRoot/ctiers_$e")
+            staged(s, wPath, s"$benchRoot/cwarm_$e") // warm-up, discarded
+            e -> staged(s, wPath, s"$benchRoot/ctiers_$e")
           } finally {
             s.stop()
             Thread.sleep(5000)
           }
         }.toMap
-        val thr1 = nTurns / secsByExec(1)
-        val thr4 = nTurns / secsByExec(4)
-        val eff = thr4 / (4.0 * thr1)
-        s"""{"mode":"local-cluster","cores_per_executor":2,"turns":$nTurns,""" +
-          s""""secs_exec_1":${f"${secsByExec(1)}%.3f"},"secs_exec_4":${f"${secsByExec(4)}%.3f"},""" +
-          s""""turns_per_sec_exec_1":${f"$thr1%.1f"},"turns_per_sec_exec_4":${f"$thr4%.1f"},""" +
-          s""""scaling_efficiency_1_to_4_executors":${f"$eff%.3f"}}"""
+        val thrN = cTurns / byExec(2)._1
+        val thr4N = cTurns / byExec(8)._1
+        val eff = thr4N / (4.0 * thrN)
+        // the raw-rollup (1m) stage is the data-dominant one at fleet
+        // scale; the 1h/1d cascade stages are seconds-long here and
+        // carry per-stage fixed costs (commit, barriers) that vanish
+        // at real input sizes — report both efficiencies
+        val eff1m = (cTurns / byExec(8)._2) / (4.0 * (cTurns / byExec(2)._2))
+        s"""{"mode":"local-cluster","cores_per_executor":1,"turns":$cTurns,""" +
+          s""""secs_exec_2":${f"${byExec(2)._1}%.3f"},"secs_exec_8":${f"${byExec(8)._1}%.3f"},""" +
+          s""""secs_1m_exec_2":${f"${byExec(2)._2}%.3f"},"secs_1m_exec_8":${f"${byExec(8)._2}%.3f"},""" +
+          s""""turns_per_sec_exec_2":${f"$thrN%.1f"},"turns_per_sec_exec_8":${f"$thr4N%.1f"},""" +
+          s""""scaling_efficiency_2_to_8_executors":${f"$eff%.3f"},""" +
+          s""""scaling_efficiency_2_to_8_executors_1m_stage":${f"$eff1m%.3f"}}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] cluster phase failed: ${e.getMessage}")

@@ -6,10 +6,10 @@ object ClusterProbe {
     val execs = if (args.nonEmpty) args(0).toInt else 4
     val appCp = new java.io.File("target/scala-2.13/classes").getAbsolutePath
     val spark = SparkSession.builder()
-      .master(s"local-cluster[$execs,2,9216]")
-      .config("spark.executor.memory", "8g")
+      .master(s"local-cluster[$execs,${sys.env.getOrElse("SPARK_PROBE_CORES","2")},9216]")
+      .config("spark.executor.memory", sys.env.getOrElse("SPARK_PROBE_EXEC_MEM", "8g"))
       .config("spark.executor.extraClassPath", appCp)
-      .config("spark.sql.shuffle.partitions", 256)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_PROBE_PARTS", "256").toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
  * top-k, hyperplane-LSH ANN), text analysis (token counts, quality,
  * fingerprints, language ID) and multimodal binary plumbing.
  *
- * SQL-expressible ops carry DuckDB oracles; signature-based ops
- * (minhash/simhash/LSH — engine-specific hash streams) get rows-only
- * driver checks plus exact behavioural tests in PipelineSpec.
+ * Every query here carries a full DuckDB value oracle — including the
+ * signature-based ops (minhash/simhash/LSH/IVF), whose deterministic
+ * hash streams are mirrored in single-statement SQL via [[DuckMacros]]
+ * — plus exact behavioural tests in PipelineSpec.
  */
 object PipelineQueries {
 
@@ -94,16 +95,22 @@ object PipelineQueries {
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
       Dedup.wordShingles(col("text"), 2).as("sh"))
-    val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
+    val sizes = base.select(col("doc_id"), col("lang"), col("source"),
+      size(col("sh")).as("n"))
     val postings = base.select(col("lang"), col("source"), col("doc_id"),
       explode(col("sh")).as("g"))
     val a = postings.select(col("lang"), col("source"), col("g"), col("doc_id").as("id_a"))
     val b = postings.select(col("lang"), col("source"), col("g"), col("doc_id").as("id_b"))
+    // pair counting groups by the id PAIR only — a pair lives in exactly
+    // one (lang, source) block, which is re-derived from the sizes
+    // table instead of riding the widest shuffle (AQE picks broadcast
+    // vs shuffle join for the per-doc sizes side by its actual size)
     a.join(b, Seq("lang", "source", "g"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("lang"), col("source"), col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).cast("double").as("inter"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("lang"),
+        col("source"), col("n").as("na")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
       .select(col("lang"), col("source"), col("id_a"), col("id_b"),
         r(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
