@@ -156,4 +156,34 @@ class RollupParitySpec extends AnyFunSuite {
         vs.map(java.lang.Double.doubleToLongBits))
     }
   }
+
+  test("bucket aggregate buffers round-trip through spill serialization") {
+    import graft.plans.{BucketBuffer, CarryBuffer}
+    val rng = new scala.util.Random(41)
+    val b = new BucketBuffer()
+    (0 until 100).foreach(_ =>
+      b.append(rng.nextDouble(), rng.nextLong(), rng.nextDouble(), rng.nextDouble()))
+    val agg = graft.plans.BucketAggExpr(null, null, null, null, Nil)
+    val b2 = agg.deserialize(agg.serialize(b))
+    assert(b2.size == b.size)
+    (0 until b.size).foreach { i =>
+      assert(b2.t(i) == b.t(i) && b2.i(i) == b.i(i) &&
+        b2.m(i) == b.m(i) && b2.w(i) == b.w(i))
+    }
+    val c = new CarryBuffer()
+    (0 until 50).foreach(_ => c.append(rng.nextDouble(), rng.nextLong(),
+      rng.nextDouble(), rng.nextDouble(), rng.nextLong(), rng.nextDouble(), rng.nextDouble()))
+    val cagg = graft.plans.CarryBucketAggExpr(null, null, null, null, null, null, null, Nil)
+    val c2 = cagg.deserialize(cagg.serialize(c))
+    assert(c2.size == c.size)
+    (0 until c.size).foreach { i =>
+      assert(c2.t(i) == c.t(i) && c2.n(i) == c.n(i) && c2.smw(i) == c.smw(i))
+    }
+    // merge preserves order (sortByTime is the only reorder point)
+    val m1 = new BucketBuffer(); m1.append(2.0, 1L, 0.0, 1.0)
+    val m2 = new BucketBuffer(); m2.append(1.0, 2L, 0.0, 1.0)
+    m1.appendAll(m2)
+    m1.sortByTime()
+    assert(m1.t.take(2).toSeq == Seq(1.0, 2.0) && m1.i.take(2).toSeq == Seq(2L, 1L))
+  }
 }
