@@ -482,6 +482,42 @@ object PipelineQueries {
         col("features.checksum").as("checksum"))
       .orderBy(col("doc_id"))
 
+  /** REAL container-header decode over binary payloads: deterministic
+    * minimal PNG/JPEG/WAV containers are built per document (this
+    * sandbox ships no media files), then format + dimensions / audio
+    * shape are parsed back from the raw bytes distributed
+    * (Multimodal.sniffBytes — magic bytes, PNG IHDR, JPEG SOFn walk,
+    * WAV fmt chunk). The oracle recomputes every field from the same
+    * doc_id arithmetic. */
+  private def qMultimodalSniff(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((id: Long) => (id % 3) match {
+      case 0 => Multimodal.syntheticPng((16 + id % 97).toInt, (16 + id % 53).toInt)
+      case 1 => Multimodal.syntheticJpeg((16 + id % 97).toInt, (16 + id % 53).toInt)
+      case _ => Multimodal.syntheticWav((8000 + (id % 5) * 4000).toInt, (1 + id % 2).toInt)
+    })
+    Multimodal.sniffStage(
+        docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload")), "payload")
+      .select(col("doc_id"),
+        col("sniffed.format").as("format"),
+        col("sniffed.n_bytes").as("n_bytes"),
+        col("sniffed.width").as("width"),
+        col("sniffed.height").as("height"),
+        col("sniffed.sample_rate").as("sample_rate"),
+        col("sniffed.channels").as("channels"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sqlMultimodalSniff =
+    """SELECT doc_id,
+      | CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+      |  ELSE 'audio/wav' END AS format,
+      | CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 42 ELSE 36 END AS BIGINT) AS n_bytes,
+      | CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 16 + doc_id % 97 ELSE -1 END AS INT) AS width,
+      | CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 16 + doc_id % 53 ELSE -1 END AS INT) AS height,
+      | CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 5) * 4000 ELSE -1 END AS INT) AS sample_rate,
+      | CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2 ELSE -1 END AS INT) AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_docs_text_stats" -> qTextStats _,
     "q_docs_exact_dedup" -> qExactDedup _,
@@ -493,7 +529,8 @@ object PipelineQueries {
     "q_embed_ann_lsh" -> qEmbedAnnLsh _,
     "q_embed_ivf" -> qEmbedIvf _,
     "q_multimodal_meta" -> qMultimodalMeta _,
-    "q_multimodal_decode" -> qMultimodalDecode _)
+    "q_multimodal_decode" -> qMultimodalDecode _,
+    "q_multimodal_sniff" -> qMultimodalSniff _)
 
   val oracles: Map[String, String] = Map(
     "q_docs_text_stats" -> sqlTextStats,
@@ -506,5 +543,6 @@ object PipelineQueries {
     "q_embed_ann_lsh" -> sqlEmbedAnnLsh,
     "q_embed_ivf" -> sqlEmbedIvf,
     "q_multimodal_meta" -> sqlMultimodalMeta,
-    "q_multimodal_decode" -> sqlMultimodalDecode)
+    "q_multimodal_decode" -> sqlMultimodalDecode,
+    "q_multimodal_sniff" -> sqlMultimodalSniff)
 }

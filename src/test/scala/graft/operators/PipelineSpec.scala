@@ -194,6 +194,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp(1L) != fp(4L))
   }
 
+  test("multimodal sniffing parses real container headers, never throws") {
+    val png = Multimodal.sniffBytes(Multimodal.syntheticPng(640, 480))
+    assert(png.format == "image/png" && png.width == 640 && png.height == 480)
+    val jpg = Multimodal.sniffBytes(Multimodal.syntheticJpeg(1920, 1080))
+    assert(jpg.format == "image/jpeg" && jpg.width == 1920 && jpg.height == 1080)
+    val wav = Multimodal.sniffBytes(Multimodal.syntheticWav(44100, 2))
+    assert(wav.format == "audio/wav" && wav.sample_rate == 44100 && wav.channels == 2)
+    assert(wav.width == -1 && png.sample_rate == -1)
+    // malformed / truncated / empty payloads degrade, never fail
+    assert(Multimodal.sniffBytes(null).format == "application/octet-stream")
+    assert(Multimodal.sniffBytes(Array[Byte]()).format == "application/octet-stream")
+    assert(Multimodal.sniffBytes("plain text bytes".getBytes).format
+      == "application/octet-stream")
+    assert(Multimodal.sniffBytes(
+      Multimodal.syntheticPng(9, 9).take(12)).format == "application/octet-stream")
+    val truncJpeg = Multimodal.syntheticJpeg(5, 5).take(6)
+    assert(Multimodal.sniffBytes(truncJpeg).format == "application/octet-stream")
+    // JPEG walk skips non-SOF segments (APP0 comes first in the builder)
+    assert(jpg.n_bytes == Multimodal.syntheticJpeg(1920, 1080).length.toLong)
+  }
+
   test("multimodal stub decode: deterministic byte stats") {
     val payload = "hello world".getBytes("UTF-8")
     val f = Multimodal.decodeBytes(payload)
