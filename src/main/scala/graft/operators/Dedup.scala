@@ -199,6 +199,51 @@ object Dedup {
       .filter(col("size") > maxBucket)
   }
 
+  // ---------------- duplicate clustering ----------------
+
+  /**
+   * Connected components over candidate duplicate pairs — the actual
+   * dedup deliverable (each document labeled with its cluster's min
+   * id, so `id != cluster_id` IS the "drop this duplicate" predicate).
+   *
+   * Iterative min-label propagation: each round every node takes the
+   * minimum label among itself and its neighbors; converges in
+   * O(component diameter) rounds (near-dup graphs are shallow — exact
+   * clones are stars around the min id by construction upstream).
+   * Pure DataFrame joins — the per-round work is two shuffles on the
+   * edge key, nothing is collected but a one-long convergence count;
+   * this is the standard scalable CC shape (label propagation), with
+   * an iteration cap as the adversarial-graph backstop.
+   */
+  def duplicateClusters(ids: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = ids.select(col("id"), col("id").as("label"))
+    var cached: Option[DataFrame] = None
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel").isNotNull && col("nlabel") < col("label")).as("changed"))
+        .cache()
+      converged = updated.filter(col("changed")).limit(1).count() == 0L
+      cached.foreach(_.unpersist(blocking = false))
+      cached = Some(updated)
+      labels = updated.select(col("id"), col("label"))
+      it += 1
+    }
+    val out = labels.withColumnRenamed("label", "cluster_id")
+    // materialization note: each round's cache truncates recomputation;
+    // a 10^12-row deployment would checkpoint every ~5 rounds to also
+    // truncate lineage — diameter of dedup graphs keeps rounds single-digit
+    out
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash over token multiset: per bit, sum +1/-1 across

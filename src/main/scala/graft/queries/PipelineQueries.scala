@@ -146,6 +146,45 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Duplicate clusters over the MinHash-LSH candidate pairs with
+    * exact-Jaccard >= 0.5: every document labeled with its connected
+    * component's min id plus the component size — `doc_id !=
+    * cluster_id` is the drop-list. Distributed min-label propagation
+    * ([[Dedup.duplicateClusters]]); oracled by a DuckDB recursive-CTE
+    * transitive closure over the SAME pair stream. */
+  private def qDupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, dir).select(col("doc_id").as("id"),
+      Dedup.wordShingles(col("text"), 2).as("shingles"))
+    val edges = Dedup.minHashLshPairs(base, k = 16, bands = 4)
+      .filter(round(col("jaccard"), 6) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    Dedup.duplicateClusters(base.select(col("id")), edges)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val sqlDupClusters: String = {
+    // the full minhash-LSH pair stream (sqlMinHashLsh) as a CTE, then
+    // transitive closure by recursive min-label propagation
+    val pairSql = sqlMinHashLsh
+      .replace("FROM scored ORDER BY id_a, id_b", "FROM scored")
+    s"""WITH RECURSIVE mh AS ($pairSql),
+       | e AS (SELECT id_a AS src, id_b AS dst FROM mh WHERE jaccard >= 0.5
+       |       UNION ALL SELECT id_b, id_a FROM mh WHERE jaccard >= 0.5),
+       | n AS (SELECT DISTINCT doc_id AS id FROM documents),
+       | reach AS (
+       |   SELECT id, id AS lbl FROM n
+       |   UNION
+       |   SELECT e.src AS id, r.lbl FROM reach r JOIN e ON e.dst = r.id),
+       | lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       |SELECT l.id AS doc_id, l.cluster_id,
+       | count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+       |FROM lab l ORDER BY doc_id""".stripMargin
+  }
+
   private def qSimHash(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       Dedup.simHashUdf(TextStats.tokens(col("text"))).as("simhash"))
@@ -524,6 +563,7 @@ object PipelineQueries {
     "q_docs_ngram_jaccard" -> qNgramJaccard _,
     "q_docs_minhash_lsh" -> qMinHashLsh _,
     "q_docs_simhash" -> qSimHash _,
+    "q_docs_dup_clusters" -> qDupClusters _,
     "q_docs_langid" -> qLangId _,
     "q_embed_topk" -> qEmbedTopK _,
     "q_embed_ann_lsh" -> qEmbedAnnLsh _,
@@ -538,6 +578,7 @@ object PipelineQueries {
     "q_docs_ngram_jaccard" -> sqlNgramJaccard,
     "q_docs_simhash" -> sqlSimHash,
     "q_docs_minhash_lsh" -> sqlMinHashLsh,
+    "q_docs_dup_clusters" -> sqlDupClusters,
     "q_docs_langid" -> sqlLangId,
     "q_embed_topk" -> sqlEmbedTopK,
     "q_embed_ann_lsh" -> sqlEmbedAnnLsh,

@@ -80,6 +80,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped < uncapped, s"cap had no effect: $capped vs $uncapped")
   }
 
+  test("duplicate clustering: transitive chains collapse to min-id components") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain, {10,11}, singletons 20, 21
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+    // drop-list predicate: keep exactly one doc per component
+    assert(got.count { case (id, c) => id == c } == 4)
+  }
+
   test("minhash signatures are deterministic and permutation-count-sized") {
     val sh = Seq("a b", "b c", "c d", "d e")
     val s1 = Dedup.minHashSignature(sh, 16, 42L)
