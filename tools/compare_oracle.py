@@ -21,6 +21,15 @@ for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+# guard against comparing stale outputs: a Verify crash leaves old
+# parquet + json behind and this script would happily pass against them
+qdirs = [d for d in os.listdir(outdir)
+         if os.path.isdir(os.path.join(outdir, d))]
+missing_dirs = sorted(set(oracles) - set(qdirs))
+if missing_dirs:
+    print(f"WARNING: {len(missing_dirs)} oracled queries have no spark "
+          f"output dir (stale outputs / crashed Verify?): {missing_dirs[:5]}")
+print(f"comparing {len(oracles)} oracles against {len(qdirs)} query outputs")
 fails = 0
 for q, sql in sorted(oracles.items()):
     spark_files = glob.glob(os.path.join(outdir, q, "*.parquet"))
