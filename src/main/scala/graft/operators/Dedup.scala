@@ -217,8 +217,12 @@ object Dedup {
    */
   def duplicateClusters(ids: DataFrame, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
+    // cache the (narrow, pairs-sized) edge list: every propagation
+    // round re-executes its lineage otherwise — with an LSH pair
+    // pipeline upstream that would recompute signatures per round
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
     var labels = ids.select(col("id"), col("id").as("label"))
     var cached: Option[DataFrame] = None
     var converged = false
@@ -237,6 +241,7 @@ object Dedup {
       labels = updated.select(col("id"), col("label"))
       it += 1
     }
+    edges.unpersist(blocking = false)
     val out = labels.withColumnRenamed("label", "cluster_id")
     // materialization note: each round's cache truncates recomputation;
     // a 10^12-row deployment would checkpoint every ~5 rounds to also
