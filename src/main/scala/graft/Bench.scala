@@ -64,6 +64,80 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+
+  /** TRUE multi-executor scaling (local-cluster): separate executor
+    * JVMs under a standalone master/worker pair — serialized shuffles
+    * through the netty transport, per-executor heaps. Pairing
+    * (measured, see BASELINE.md): 2 -> 8 executors at ONE core each
+    * (2..8 busy cores stays under the socket's memory-bandwidth
+    * saturation, and both levels pay a majority remote-shuffle
+    * fraction — a 1-executor baseline fetches its whole shuffle
+    * locally, which no real cluster node does). 64 shuffle partitions
+    * at both levels (plan fixed); 4 GiB executors; half-size input
+    * (full input under 8 executor heaps squeezes the page cache and
+    * conflates memory pressure with scaling — measured).
+    * Efficiency = thr(8) / (4 x thr(2)), plus the 1m-stage-only
+    * efficiency (the data-dominant stage at fleet scale; the 1h/1d
+    * cascade stages are seconds-long here and carry per-stage fixed
+    * costs that vanish at real input sizes). */
+  private def runClusterPhase(inPath: String, turns: Long): String = {
+    if (sys.env.contains("SPARK_GRAFT_SKIP_CLUSTER")) return "null"
+    def clusterSession(executors: Int): SparkSession = {
+      val appCp = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      val s = SparkSession.builder()
+        .master(s"local-cluster[$executors,1,9216]")
+        .config("spark.executor.memory", "4g")
+        .config("spark.executor.extraClassPath", appCp)
+        .config("spark.sql.shuffle.partitions", 64)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "6m")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    try {
+      def staged(s: SparkSession, in: String, out: String): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val series = Transcripts.series(s.read.parquet(in))
+        Rollup.tierFromTurns(series, 60L).write.mode("overwrite").parquet(s"$out/tier=1m")
+        val t1 = System.nanoTime()
+        Rollup.tierFromTier(s.read.parquet(s"$out/tier=1m"), 3600L)
+          .write.mode("overwrite").parquet(s"$out/tier=1h")
+        Rollup.tierFromTier(s.read.parquet(s"$out/tier=1h"), 86400L)
+          .write.mode("overwrite").parquet(s"$out/tier=1d")
+        ((System.nanoTime() - t0) / 1e9, (t1 - t0) / 1e9)
+      }
+      val byExec = Seq(8, 2).map { e =>
+        val s = clusterSession(e)
+        try {
+          staged(s, inPath, s"target/bench/cwarm_$e") // warm-up, discarded
+          e -> staged(s, inPath, s"target/bench/ctiers_$e")
+        } finally {
+          s.stop()
+          Thread.sleep(5000)
+        }
+      }.toMap
+      val thrN = turns / byExec(2)._1
+      val thr4N = turns / byExec(8)._1
+      val eff = thr4N / (4.0 * thrN)
+      val eff1m = (turns / byExec(8)._2) / (4.0 * (turns / byExec(2)._2))
+      s"""{"mode":"local-cluster","cores_per_executor":1,"turns":$turns,""" +
+        s""""secs_exec_2":${f"${byExec(2)._1}%.3f"},"secs_exec_8":${f"${byExec(8)._1}%.3f"},""" +
+        s""""secs_1m_exec_2":${f"${byExec(2)._2}%.3f"},"secs_1m_exec_8":${f"${byExec(8)._2}%.3f"},""" +
+        s""""turns_per_sec_exec_2":${f"$thrN%.1f"},"turns_per_sec_exec_8":${f"$thr4N%.1f"},""" +
+        s""""scaling_efficiency_2_to_8_executors":${f"$eff%.3f"},""" +
+        s""""scaling_efficiency_2_to_8_executors_1m_stage":${f"$eff1m%.3f"}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] cluster phase failed: ${e.getMessage}")
+        "null"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -73,33 +147,47 @@ object Bench {
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "320000").toLong
     val lowCpus = math.max(cpus / 4, 1)
 
-    // ---- phase 1: driver query battery ----
-    // (SPARK_GRAFT_SKIP_QUERIES=1 skips it while iterating on scaling)
+    // ---- phase 0: deterministic inputs (generation excluded from timing) ----
+    val benchRoot = "target/bench"
+    val inPath = s"$benchRoot/transcripts.parquet"
+    val wPath = s"$benchRoot/transcripts_half.parquet"
     val spark0 = session(cpus)
+    // 4 files per core: the scan stage's last wave is short, so the
+    // Zipf-head file doesn't become the stage tail
+    Transcripts.synthetic(spark0, nConvs, meanTurns = 40, seed = 42L, partitions = 4 * cpus)
+      .write.mode("overwrite").parquet(inPath)
+    Transcripts.synthetic(spark0, nConvs / 2, meanTurns = 40, seed = 43L,
+      partitions = 2 * cpus).write.mode("overwrite").parquet(wPath)
+    val nTurns = spark0.read.parquet(inPath).count()
+    val cTurns = spark0.read.parquet(wPath).count()
+    spark0.stop()
+
+    // ---- phase 1: TRUE multi-executor scaling (local-cluster) ----
+    // Runs FIRST, on a near-fresh driver JVM: measured, the 8-executor
+    // level degrades ~2x when this phase follows the six local
+    // sessions of the thread-level phase (bloated driver heap slows
+    // task scheduling, and the cost scales with executor count).
+    val clusterBlock: String = runClusterPhase(inPath = wPath, turns = cTurns)
+
+    // ---- phase 2: driver query battery ----
+    // (SPARK_GRAFT_SKIP_QUERIES=1 skips it while iterating on scaling)
+    val sparkQ = session(cpus)
     val results =
       if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Map.empty[String, Double]
       else {
         // JVM/codegen warm-up so the first timed query isn't charged
         // ~5-7 s of JIT + parquet-footer + codegen compilation
-        try SparkEntry.queries.get("q_simple_stats").foreach(_(spark0, sfDir).count())
+        try SparkEntry.queries.get("q_simple_stats").foreach(_(sparkQ, sfDir).count())
         catch { case _: Throwable => () }
         SparkEntry.queries.map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark0, sfDir).count() } catch { case _: Throwable => -1L }
+          try { fn(sparkQ, sfDir).count() } catch { case _: Throwable => -1L }
           name -> (System.nanoTime() - t0) / 1e9
         }
       }
+    sparkQ.stop()
 
-    // ---- phase 2: rollup scaling (north rule) ----
-    // deterministic input, pre-written so generation is excluded
-    val benchRoot = "target/bench"
-    val inPath = s"$benchRoot/transcripts.parquet"
-    // 4 files per core: the scan stage's last wave is short, so the
-    // Zipf-head file doesn't become the stage tail
-    Transcripts.synthetic(spark0, nConvs, meanTurns = 40, seed = 42L, partitions = 4 * cpus)
-      .write.mode("overwrite").parquet(inPath)
-    val nTurns = spark0.read.parquet(inPath).count()
-    spark0.stop()
+    // ---- phase 3: rollup thread-level scaling (north rule) ----
 
     // Three parallelism points. The north rule's N-vs-4N gate is
     // evidenced at n -> 4n (both below this box's memory-bandwidth
@@ -137,96 +225,6 @@ object Bench {
       }
       s.stop()
     }
-    // ---- phase 3: TRUE multi-executor scaling (local-cluster) ----
-    // Separate executor JVMs under a standalone master/worker pair:
-    // serialized shuffles through the network stack, per-executor
-    // heaps — the real add-executors model (not thread scaling).
-    // Pairing (measured, see BASELINE.md): 2 -> 8 executors at ONE
-    // core each. 2..8 busy cores stays under this socket's
-    // memory-bandwidth saturation, and BOTH levels pay a majority
-    // remote-shuffle fraction (50% vs 87.5%) — a 1-executor baseline
-    // fetches its whole shuffle locally, which no real cluster node
-    // does, and 4-core executors put the upper level at 16 cores,
-    // past saturation. 64 shuffle partitions at both levels (plan
-    // fixed across levels; fewer per-stage fixed costs than 256 on
-    // the second/third cascade stages, which are fleet-trivial but
-    // benchmark-visible). Efficiency = thr(8) / (4 x thr(2)).
-    def clusterSession(executors: Int): SparkSession = {
-      val appCp = new java.io.File("target/scala-2.13/classes").getAbsolutePath
-      val s = SparkSession.builder()
-        .master(s"local-cluster[$executors,1,9216]")
-        .config("spark.executor.memory", "4g")
-        .config("spark.executor.extraClassPath", appCp)
-        .config("spark.sql.shuffle.partitions", 64)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "6m")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
-    val clusterBlock: String =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_CLUSTER")) "null"
-      else try {
-        // warm-up input: half size (JIT/codegen warm is data-size-
-        // independent); the TIMED build runs on the full input so the
-        // small cascade stages' fixed per-stage costs (job barriers,
-        // commit protocol) are amortized, as they would be at fleet
-        // scale. 4-exec level first; settle between levels so the
-        // previous standalone cluster's teardown can't contend.
-        val wPath = s"$benchRoot/transcripts_half.parquet"
-        val sGen = session(cpus)
-        Transcripts.synthetic(sGen, nConvs / 2, meanTurns = 40, seed = 43L,
-          partitions = 2 * cpus).write.mode("overwrite").parquet(wPath)
-        val cTurns = sGen.read.parquet(wPath).count()
-        sGen.stop()
-        // timed on the half input (full input at 8 executors squeezes
-        // this box's page cache under the bench driver's heap and
-        // conflates memory pressure with scaling — measured)
-        def staged(s: SparkSession, in: String, out: String): (Double, Double) = {
-          val t0 = System.nanoTime()
-          val series = Transcripts.series(s.read.parquet(in))
-          Rollup.tierFromTurns(series, 60L).write.mode("overwrite").parquet(s"$out/tier=1m")
-          val t1 = System.nanoTime()
-          Rollup.tierFromTier(s.read.parquet(s"$out/tier=1m"), 3600L)
-            .write.mode("overwrite").parquet(s"$out/tier=1h")
-          Rollup.tierFromTier(s.read.parquet(s"$out/tier=1h"), 86400L)
-            .write.mode("overwrite").parquet(s"$out/tier=1d")
-          ((System.nanoTime() - t0) / 1e9, (t1 - t0) / 1e9)
-        }
-        val byExec = Seq(8, 2).map { e =>
-          val s = clusterSession(e)
-          try {
-            staged(s, wPath, s"$benchRoot/cwarm_$e") // warm-up, discarded
-            e -> staged(s, wPath, s"$benchRoot/ctiers_$e")
-          } finally {
-            s.stop()
-            Thread.sleep(5000)
-          }
-        }.toMap
-        val thrN = cTurns / byExec(2)._1
-        val thr4N = cTurns / byExec(8)._1
-        val eff = thr4N / (4.0 * thrN)
-        // the raw-rollup (1m) stage is the data-dominant one at fleet
-        // scale; the 1h/1d cascade stages are seconds-long here and
-        // carry per-stage fixed costs (commit, barriers) that vanish
-        // at real input sizes — report both efficiencies
-        val eff1m = (cTurns / byExec(8)._2) / (4.0 * (cTurns / byExec(2)._2))
-        s"""{"mode":"local-cluster","cores_per_executor":1,"turns":$cTurns,""" +
-          s""""secs_exec_2":${f"${byExec(2)._1}%.3f"},"secs_exec_8":${f"${byExec(8)._1}%.3f"},""" +
-          s""""secs_1m_exec_2":${f"${byExec(2)._2}%.3f"},"secs_1m_exec_8":${f"${byExec(8)._2}%.3f"},""" +
-          s""""turns_per_sec_exec_2":${f"$thrN%.1f"},"turns_per_sec_exec_8":${f"$thr4N%.1f"},""" +
-          s""""scaling_efficiency_2_to_8_executors":${f"$eff%.3f"},""" +
-          s""""scaling_efficiency_2_to_8_executors_1m_stage":${f"$eff1m%.3f"}}"""
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] cluster phase failed: ${e.getMessage}")
-          "null"
-      }
-
     val (secsN, metricsN) = (best(nLow), metricsByLevel(nLow))
     val (secs4N, metrics4N) = (best(nMid), metricsByLevel(nMid))
     val (secsMax, metricsMax) = (best(cpus), metricsByLevel(cpus))
