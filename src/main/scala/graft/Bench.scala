@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
  *    parallelism levels (local[N] and local[4N], shuffle.partitions
  *    matched), plus scaling efficiency thr_4N / (4 * thr_N) — the
  *    sandbox substitute for the N vs 4N executor protocol
- *    (BASELINE.md "Two-cluster-size protocol").
+ *    (BASELINE.md "Two-cluster-size protocol");
+ *  - `rollup.cluster`: the same build under REAL separate-JVM
+ *    executors (local-cluster, 2 -> 8 one-core executors) — run
+ *    FIRST, on a near-fresh driver (BASELINE.md "True multi-executor
+ *    protocol").
  */
 object Bench {
 
