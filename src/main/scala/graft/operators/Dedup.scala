@@ -40,10 +40,15 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  /** Exact Jaccard similarity of two (distinct-element) arrays. Two
+    * EMPTY sets are defined as identical (J = 1): they collapse to the
+    * same minhash signature upstream, and the naive 0/0 disagrees
+    * between engines (Spark Divide -> NULL, DuckDB -> NaN which sorts
+    * greatest past every threshold). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
+    val union = size(a) + size(b) - inter
+    when(union > 0.0, inter / union).otherwise(lit(1.0))
   }
 
   // ---------------- 64-bit mixing (splitmix64 finalizer) ----------------
@@ -138,25 +143,30 @@ object Dedup {
    */
   def minHashLshPairs(df: DataFrame, k: Int = 16, bands: Int = 4,
       seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (sig, _) = minHashCols(col("shingles"), k, bands, seed)
     val withSig = df.select(col("id"), col("shingles")).withColumn("sig", sig)
-    // 1. signature-duplicate groups -> min-id rep + linear star pairs
-    val wSig = Window.partitionBy(col("sig"))
-    val tagged = withSig.withColumn("rep", min(col("id")).over(wSig))
-    val dupPairs = tagged.filter(col("id") =!= col("rep"))
+    // 1. signature-duplicate groups -> min-id rep + linear star pairs.
+    //    groupBy+join, NOT min().over(Window.partitionBy(sig)): window
+    //    aggregation has no map-side partial, so a million-identical-
+    //    docs group would sort inside ONE task; the partial aggregate
+    //    combines per-partition before the (narrow) shuffle.
+    val repBySig = withSig.groupBy(col("sig")).agg(min(col("id")).as("rep"))
+    val dupPairs = withSig.select(col("id"), col("sig"))
+      .join(repBySig, Seq("sig"))
+      .filter(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"),
         lit(1.0).as("est_jaccard")) // identical signatures agree on all k
-    val reps = tagged.filter(col("id") === col("rep"))
-      .select(col("id"), col("sig"))
+    val reps = repBySig.select(col("rep").as("id"), col("sig"))
       .withColumn("bands", bandArr2(bands)(col("sig")))
-    // 2. band the representatives; 3. cap bucket size
+    // 2. band the representatives; 3. cap bucket size (same
+    //    partial-agg count + join shape — no Window over the bucket key)
     val exploded = reps.select(col("id"), col("sig"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
-    val wB = Window.partitionBy(col("band"), col("bucket"))
-    val capped = exploded.withColumn("bsz", count(lit(1)).over(wB))
+    val smallBuckets = exploded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
+    val capped = exploded.join(smallBuckets, Seq("band", "bucket"))
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"),
       col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"),
@@ -206,47 +216,89 @@ object Dedup {
    * dedup deliverable (each document labeled with its cluster's min
    * id, so `id != cluster_id` IS the "drop this duplicate" predicate).
    *
-   * Iterative min-label propagation: each round every node takes the
-   * minimum label among itself and its neighbors; converges in
-   * O(component diameter) rounds (near-dup graphs are shallow — exact
-   * clones are stars around the min id by construction upstream).
-   * Pure DataFrame joins — the per-round work is two shuffles on the
-   * edge key, nothing is collected but a one-long convergence count;
-   * this is the standard scalable CC shape (label propagation), with
-   * an iteration cap as the adversarial-graph backstop.
+   * Algorithm: alternating large-star / small-star edge contraction
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC '14) — converges in O(log n) rounds on ANY graph shape.
+   * Min-label propagation (the round-2 form) is O(component diameter):
+   * a near-dup CHAIN of d documents needs d rounds; the star
+   * alternation needs ~log d. Each round is two groupBy+join passes
+   * over the (narrow, two-long-column) edge set — partial aggregation
+   * combines map-side, no Window funnels a hot component through one
+   * task. Every round is `localCheckpoint`ed, truncating lineage AND
+   * recomputation (the upstream LSH pair pipeline is materialized
+   * exactly once); intermediates are unpersisted as soon as the next
+   * round lands, and the final checkpoint is reclaimed by Spark's
+   * ContextCleaner once the caller drops the result.
+   *
+   * Convergence contract: fixpoint is detected from a (count,
+   * order-independent hash sum) signature of the checkpointed edges —
+   * a single cheap job over in-memory blocks per round. If the edge
+   * set has not reached its star fixpoint within `maxIters` rounds the
+   * call THROWS instead of returning silently-split clusters (the
+   * round-2 bug); the default 50 covers components of ~2^50 nodes.
    */
   def duplicateClusters(ids: DataFrame, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
-    // cache the (narrow, pairs-sized) edge list: every propagation
-    // round re-executes its lineage otherwise — with an LSH pair
-    // pipeline upstream that would recompute signatures per round
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
-    var labels = ids.select(col("id"), col("id").as("label"))
-    var cached: Option[DataFrame] = None
-    var converged = false
+      maxIters: Int = 50): DataFrame = {
+    // canonical directed edges: larger id -> smaller id, deduplicated
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    // (row count, two independent order-independent 64-bit XOR folds):
+    // equal signatures across consecutive rounds == the star fixpoint
+    // (both stars leave a union of min-id stars exactly in place).
+    // XOR, not sum — overflow-free under ANSI mode; edges are distinct
+    // within a round so nothing self-cancels.
+    def signature(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
+        coalesce(bit_xor(xxhash64(col("v"), col("u"), lit(7L))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var sig = signature(edges)
+    var converged = sig._1 == 0L
     var it = 0
+    var prev: DataFrame = null
     while (!converged && it < maxIters) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (col("nlabel").isNotNull && col("nlabel") < col("label")).as("changed"))
-        .cache()
-      converged = updated.filter(col("changed")).limit(1).count() == 0L
-      cached.foreach(_.unpersist(blocking = false))
-      cached = Some(updated)
-      labels = updated.select(col("id"), col("label"))
+      // large-star: hang every node's LARGER neighbors off the minimum
+      // of its closed neighborhood (connectivity-preserving; keeps
+      // u > v invariant since m <= u < v)
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(lsMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star: hang each node AND its (all smaller) neighbors off
+      // the neighborhood minimum
+      val ssMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(ssMin, Seq("u"))
+        .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = edges
+      edges = next
+      sig = nextSig
       it += 1
     }
-    edges.unpersist(blocking = false)
-    val out = labels.withColumnRenamed("label", "cluster_id")
-    // materialization note: each round's cache truncates recomputation;
-    // a 10^12-row deployment would checkpoint every ~5 rounds to also
-    // truncate lineage — diameter of dedup graphs keeps rounds single-digit
-    out
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters: star contraction did not converge within " +
+          s"$maxIters rounds (${sig._1} edges live) — refusing to return " +
+          "partially-merged cluster labels")
+    if (prev != null) prev.unpersist(blocking = false)
+    // at fixpoint the edges are disjoint (member -> component-min) stars
+    ids.select(col("id"))
+      .join(edges.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   // ---------------- SimHash ----------------

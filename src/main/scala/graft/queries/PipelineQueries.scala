@@ -65,14 +65,18 @@ object PipelineQueries {
 
   // ---------------- exact dedup (hash groupBy) ----------------
 
+  /** groupBy+join, NOT count/min over Window.partitionBy(content_hash):
+    * window aggregation has no map-side partial, so a million-identical
+    * -docs group would sort inside ONE task — the exact case an exact-
+    * dedup operator exists for. The aggregate combines map-side and the
+    * re-join streams the group. */
   private def qExactDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val h = md5(col("text"))
-    val w = Window.partitionBy(col("content_hash"))
-    docs(s, dir).select(col("doc_id"), h.as("content_hash"))
-      .withColumn("group_size", count(lit(1)).over(w))
-      .withColumn("is_canonical",
-        (col("doc_id") === min(col("doc_id")).over(w)).cast("int"))
+    val hashed = docs(s, dir).select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val groups = hashed.groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("_min_id"))
+    hashed.join(groups, Seq("content_hash"))
+      .select(col("doc_id"), col("content_hash"), col("group_size"),
+        (col("doc_id") === col("_min_id")).cast("int").as("is_canonical"))
       .orderBy(col("doc_id"))
   }
 
@@ -277,9 +281,12 @@ object PipelineQueries {
        |           ON a.b = b2.b AND a.bucket = b2.bucket AND a.id < b2.id
        |         GROUP BY 1, 2, 3),
        | pairs AS (SELECT * FROM dup UNION ALL SELECT * FROM lsh),
+       | -- J(empty, empty) = 1 by convention (mirrors Dedup.jaccard)
        | scored AS (SELECT p.id_a, p.id_b, p.est,
-       |             CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)
-       |               / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) AS j
+       |             CASE WHEN len(ga.sh) + len(gb.sh) = 0 THEN 1.0
+       |              ELSE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)
+       |               / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)))
+       |             END AS j
        |            FROM pairs p JOIN g ga ON ga.id = p.id_a
        |            JOIN g gb ON gb.id = p.id_b)
        |SELECT id_a, id_b, round(est, 4) AS est_jaccard, round(j, 6) AS jaccard

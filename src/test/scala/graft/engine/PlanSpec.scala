@@ -95,6 +95,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("dropDuplicates"), "wide dropDuplicates survived")
   }
 
+  test("dedup rep election is map-side partial aggregation, no Window over the dup key") {
+    import graft.operators.Dedup
+    val docs = spark.range(50).select(col("id"),
+      split(lit("a b c d e f g"), " ").as("shingles"))
+    val pairPlan = physicalPlan(Dedup.minHashLshPairs(docs, k = 8, bands = 2))
+    assert(!pairPlan.contains("Window"),
+      s"window funnel in the minhash pair pipeline:\n$pairPlan")
+    assert(pairPlan.contains("HashAggregate") || pairPlan.contains("ObjectHashAggregate"),
+      "rep election must be an aggregate (map-side partial)")
+    val dedupPlan = physicalPlan(
+      graft.SparkEntry.queries("q_docs_exact_dedup")(spark, "/root/testdata/sf0.001"))
+    assert(!dedupPlan.contains("Window"),
+      s"window funnel in exact dedup:\n$dedupPlan")
+  }
+
   test("catalyst collapses shared sub-aggregates into one physical aggregate") {
     import graft.functions.Kernels
     val series = Transcripts.series(spark.read.parquet(turnsPath))

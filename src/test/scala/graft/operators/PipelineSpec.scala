@@ -93,6 +93,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.count { case (id, c) => id == c } == 4)
   }
 
+  test("duplicate clustering: 10k-node path graph converges in O(log n) star rounds") {
+    import spark.implicits._
+    // worst case for min-label propagation (needs 10k rounds; the
+    // round-2 implementation silently truncated at 20): a single chain
+    // 0-1-2-...-9999. Star contraction must finish well within the cap.
+    val n = 10000
+    val ids = spark.range(n).toDF("id")
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val got = Dedup.duplicateClusters(ids, pairs, maxIters = 30)
+      .agg(countDistinct(col("cluster_id")), max(col("cluster_id")), count(lit(1)))
+      .head()
+    assert(got.getLong(0) == 1L, "path graph must collapse to one component")
+    assert(got.getLong(1) == 0L, "component label must be the min id")
+    assert(got.getLong(2) == n.toLong)
+  }
+
+  test("duplicate clustering: non-convergence throws instead of returning split labels") {
+    import spark.implicits._
+    val n = 512
+    val ids = spark.range(n).toDF("id")
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(ids, pairs, maxIters = 1).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("jaccard of two empty shingle sets is 1 (and clusters them together)") {
+    import spark.implicits._
+    // single-token docs shingle to empty sets -> identical signatures
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "alpha beta gamma delta"))
+      .toDF("id", "text")
+      .withColumn("shingles", Dedup.wordShingles(col("text"), 2))
+    val pairs = Dedup.minHashLshPairs(df, k = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)),
+      s"empty-shingle docs must pair with J=1, got ${pairs.toSeq}")
+  }
+
   test("minhash signatures are deterministic and permutation-count-sized") {
     val sh = Seq("a b", "b c", "c d", "d e")
     val s1 = Dedup.minHashSignature(sh, 16, 42L)
