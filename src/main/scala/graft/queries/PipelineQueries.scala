@@ -88,23 +88,46 @@ object PipelineQueries {
 
   // ---------------- n-gram Jaccard pairs (blocked) ----------------
 
+  /** Document-frequency cap for the n-gram inverted index: a shingle
+    * held by P documents contributes P² candidate pair rows, and at a
+    * fixed similarity threshold the highest-DF shingles ("of the") are
+    * the least informative — standard practice is to drop them from
+    * the shingle space entirely (sizes AND intersections), which keeps
+    * the posting self-join bounded by cap² per shingle at ANY corpus
+    * size. Deterministic; the dropped shingles are observable via
+    * q_docs_ngram_hot_shingles. The oracle mirrors the cap exactly. */
+  private val NgramMaxDf = 128
+
   /** Exact word-2-gram Jaccard via an INVERTED INDEX: explode shingles,
     * self-join postings on (lang, source, shingle), count shared
     * shingles per pair, then jaccard = |A∩B| / (|A|+|B|-|A∩B|) from the
-    * precomputed set sizes. Work scales with Σ posting² (shingle
-    * rarity), not Σ block² (corpus size) — the naive blocked pair join
-    * is quadratic at fixed blocking-key cardinality; this is the shape
-    * that survives 100×. Pairs with empty intersection can't reach the
-    * 0.02 threshold, so the output is identical to the all-pairs form. */
-  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+    * kept-posting set sizes. Work scales with Σ posting² (shingle
+    * rarity, bounded by [[NgramMaxDf]]²), not Σ block² (corpus size) —
+    * the naive blocked pair join is quadratic at fixed blocking-key
+    * cardinality; this is the shape that survives 100×. Pairs with
+    * empty intersection can't reach the 0.02 threshold, so the output
+    * is identical to the all-pairs form over the capped shingle space. */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(docs(s, dir), NgramMaxDf)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The capped inverted-index pair pipeline (testable shape). */
+  private[queries] def ngramJaccardPairs(d: DataFrame, maxDf: Int): DataFrame = {
+    val base = d.select(col("doc_id"), col("lang"), col("source"),
       Dedup.wordShingles(col("text"), 2).as("sh"))
-    val sizes = base.select(col("doc_id"), col("lang"), col("source"),
-      size(col("sh")).as("n"))
     val postings = base.select(col("lang"), col("source"), col("doc_id"),
       explode(col("sh")).as("g"))
-    val a = postings.select(col("lang"), col("source"), col("g"), col("doc_id").as("id_a"))
-    val b = postings.select(col("lang"), col("source"), col("g"), col("doc_id").as("id_b"))
+    // DF cap: hot shingles leave the shingle space (left_anti against
+    // the small hot set — AQE broadcasts it)
+    val hot = postings.groupBy(col("lang"), col("source"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("lang"), col("source"), col("g"))
+    val kept = postings.join(hot, Seq("lang", "source", "g"), "left_anti")
+    val sizes = kept.groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val a = kept.select(col("lang"), col("source"), col("g"), col("doc_id").as("id_a"))
+    val b = kept.select(col("lang"), col("source"), col("g"), col("doc_id").as("id_b"))
     // pair counting groups by the id PAIR only — a pair lives in exactly
     // one (lang, source) block, which is re-derived from the sizes
     // table instead of riding the widest shuffle (AQE picks broadcast
@@ -119,7 +142,6 @@ object PipelineQueries {
       .select(col("lang"), col("source"), col("id_a"), col("id_b"),
         r(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.02)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   private val sqlNgramJaccard =
@@ -131,13 +153,49 @@ object PipelineQueries {
        |                i -> toks[i] || ' ' || toks[i + 1])
        |           ELSE [] END) AS sh
        |        FROM g),
-       | pairs AS (SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
-       |            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
-       |           FROM sh a JOIN sh b
-       |             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       | post AS (SELECT doc_id, lang, source, unnest(sh) AS gram FROM sh),
+       | hot AS (SELECT lang, source, gram FROM post
+       |         GROUP BY 1, 2, 3 HAVING count(*) > $NgramMaxDf),
+       | kept AS (SELECT p.* FROM post p ANTI JOIN hot h
+       |          USING (lang, source, gram)),
+       | sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+       | inter AS (SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+       |            count(*) AS i
+       |           FROM kept a JOIN kept b
+       |             ON a.lang = b.lang AND a.source = b.source
+       |            AND a.gram = b.gram AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2, 3, 4),
+       | pairs AS (SELECT i.lang, i.source, i.id_a, i.id_b,
+       |            CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS j
+       |           FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+       |           JOIN sizes sb ON sb.doc_id = i.id_b)
        |SELECT lang, source, id_a, id_b, round(j + $JitterSql, $R) + 0 AS jaccard
        |FROM pairs WHERE round(j + $JitterSql, $R) + 0 >= 0.02 ORDER BY id_a, id_b""".stripMargin
+
+  /** Overflow observability for the DF cap: every (lang, source,
+    * shingle) whose document frequency exceeds the threshold — what the
+    * capped index WOULD drop, never silently. Driver-run at a low
+    * threshold so truncation behavior stays visible in CI. */
+  private def qNgramHotShingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("lang"), col("source"),
+        explode(Dedup.wordShingles(col("text"), 2)).as("g"))
+      .groupBy(col("lang"), col("source"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > 3)
+      .orderBy(col("lang"), col("source"), col("g"))
+
+  private val sqlNgramHotShingles =
+    s"""WITH g AS (SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
+       |           FROM documents),
+       | sh AS (SELECT doc_id, lang, source,
+       |         list_distinct(CASE WHEN len(toks) >= 2
+       |           THEN list_transform(generate_series(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i + 1])
+       |           ELSE [] END) AS sh
+       |        FROM g),
+       | post AS (SELECT doc_id, lang, source, unnest(sh) AS g FROM sh)
+       |SELECT lang, source, g, count(*) AS df FROM post
+       |GROUP BY 1, 2, 3 HAVING count(*) > 3 ORDER BY lang, source, g""".stripMargin
 
   // ---------------- MinHash + LSH (rows-only + PipelineSpec) ----------------
 
@@ -222,13 +280,11 @@ object PipelineQueries {
        |FROM sim ORDER BY doc_id""".stripMargin
   }
 
-  /** Full value oracle for MinHash-LSH: the complete operator —
-    * 16-permutation signatures (splitmix64 streams, unsigned mins),
-    * signature-duplicate star pairs, 4-band bucket hashes (seeded
-    * wrapping-multiply init + per-row mix fold), bucket self-join,
-    * signature-agreement estimate and exact-Jaccard confirm — mirrored
-    * in single-statement SQL via [[DuckMacros]]. */
-  private val sqlMinHashLsh: String = {
+  /** Shared CTE prefix of the MinHash oracles: shingles -> FNV+mix64
+    * shingle hashes -> 16 permutation streams -> unsigned-min
+    * signatures (empty sets = all Long.MaxValue), ending with
+    * `sige(id, sig)`. */
+  private def sqlMinHashSigCtes: String = {
     import DuckMacros._
     val Golden = "-7046029254386353131" // 0x9e3779b97f4a7c15 as signed
     // shingle hash: FNV over the 2-gram, then mix64 (Dedup.hashString)
@@ -242,17 +298,7 @@ object PipelineQueries {
     val pv = mix64Stages(
       s"(SELECT h.id, s.i, ${xor64("h.h", "s.si")} AS vz " +
         "FROM hh h CROSS JOIN seeds s)", "vz", "v", Seq("id", "i"))
-    // band-hash fold: acc0 = golden * (band+1); 4 rounds of
-    // acc = mix64(acc XOR sig[band*4 + r + 1]) (Dedup.bandHashes)
-    val keep = Seq("id", "b", "sig")
-    val fold = (0 until 4).foldLeft(
-      s"(SELECT id, sig, b, ${mul64(Golden, "(b + 1)")} AS acc " +
-        "FROM reps, (SELECT unnest(range(0, 4)) AS b))") { (src, r) =>
-      mix64Stages(
-        s"(SELECT id, b, sig, ${xor64("acc", s"sig[b * 4 + $r + 1]")} AS fz FROM $src)",
-        "fz", "acc", keep)
-    }
-    s"""WITH g AS (SELECT doc_id AS id,
+    s"""g AS (SELECT doc_id AS id,
        |            list_distinct(CASE WHEN len(toks) >= 2
        |              THEN list_transform(generate_series(1, len(toks) - 1),
        |                   k -> toks[k] || ' ' || toks[k + 1])
@@ -268,12 +314,38 @@ object PipelineQueries {
        | -- empty shingle sets: signature is all Long.MaxValue (no perm value)
        | sige AS (SELECT g.id, coalesce(s.sig,
        |            list_transform(range(0, 16), x -> 9223372036854775807)) AS sig
-       |          FROM g LEFT JOIN sigl s ON g.id = s.id),
+       |          FROM g LEFT JOIN sigl s ON g.id = s.id)""".stripMargin
+  }
+
+  /** Band-hash fold over a `reps(id, sig)` CTE: acc0 = golden*(band+1);
+    * 4 rounds of acc = mix64(acc XOR sig[band*4 + r + 1])
+    * (Dedup.bandHashes). Yields (id, b, sig, acc). */
+  private def sqlBandFold: String = {
+    import DuckMacros._
+    val Golden = "-7046029254386353131"
+    val keep = Seq("id", "b", "sig")
+    (0 until 4).foldLeft(
+      s"(SELECT id, sig, b, ${mul64(Golden, "(b + 1)")} AS acc " +
+        "FROM reps, (SELECT unnest(range(0, 4)) AS b))") { (src, r) =>
+      mix64Stages(
+        s"(SELECT id, b, sig, ${xor64("acc", s"sig[b * 4 + $r + 1]")} AS fz FROM $src)",
+        "fz", "acc", keep)
+    }
+  }
+
+  /** Full value oracle for MinHash-LSH: the complete operator —
+    * 16-permutation signatures (splitmix64 streams, unsigned mins),
+    * signature-duplicate star pairs, 4-band bucket hashes (seeded
+    * wrapping-multiply init + per-row mix fold), bucket self-join,
+    * signature-agreement estimate and exact-Jaccard confirm — mirrored
+    * in single-statement SQL via [[DuckMacros]]. */
+  private val sqlMinHashLsh: String = {
+    s"""WITH $sqlMinHashSigCtes,
        | tagged AS (SELECT id, sig, min(id) OVER (PARTITION BY sig) AS rep FROM sige),
        | dup AS (SELECT rep AS id_a, id AS id_b, 1.0 AS est
        |         FROM tagged WHERE id <> rep),
        | reps AS (SELECT id, sig FROM tagged WHERE id = rep),
-       | bk AS (SELECT id, b, sig, acc AS bucket FROM $fold),
+       | bk AS (SELECT id, b, sig, acc AS bucket FROM $sqlBandFold),
        | lsh AS (SELECT a.id AS id_a, b2.id AS id_b,
        |          CAST(len(list_filter(range(1, 17),
        |            k -> a.sig[k] = b2.sig[k])) AS DOUBLE) / 16 AS est
@@ -292,6 +364,25 @@ object PipelineQueries {
        |SELECT id_a, id_b, round(est, 4) AS est_jaccard, round(j, 6) AS jaccard
        |FROM scored ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Bucket-cap observability in the driver battery ([[Dedup
+    * .minHashBucketOverflow]]): every (band, bucket) whose DISTINCT-
+    * signature population exceeds the threshold — what the capped pair
+    * join would drop at that cap. Run at maxBucket=1 so band
+    * collisions are visible in CI on the test corpus. */
+  private def qMinHashOverflow(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id").as("id"),
+      Dedup.wordShingles(col("text"), 2).as("shingles"))
+    Dedup.minHashBucketOverflow(base, k = 16, bands = 4, maxBucket = 1)
+      .orderBy(col("band"), col("bucket"))
+  }
+
+  private val sqlMinHashOverflow: String =
+    s"""WITH $sqlMinHashSigCtes,
+       | reps AS (SELECT min(id) AS id, sig FROM sige GROUP BY sig),
+       | bk AS (SELECT id, b, sig, acc AS bucket FROM $sqlBandFold)
+       |SELECT b AS band, bucket, count(*) AS size FROM bk
+       |GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY band, bucket""".stripMargin
 
   /** Full oracle for language ID: the add-one-smoothed top-64 token
     * profile and argmax scoring (TextStats.languageId) re-derived
@@ -568,7 +659,9 @@ object PipelineQueries {
     "q_docs_text_stats" -> qTextStats _,
     "q_docs_exact_dedup" -> qExactDedup _,
     "q_docs_ngram_jaccard" -> qNgramJaccard _,
+    "q_docs_ngram_hot_shingles" -> qNgramHotShingles _,
     "q_docs_minhash_lsh" -> qMinHashLsh _,
+    "q_docs_minhash_overflow" -> qMinHashOverflow _,
     "q_docs_simhash" -> qSimHash _,
     "q_docs_dup_clusters" -> qDupClusters _,
     "q_docs_langid" -> qLangId _,
@@ -583,8 +676,10 @@ object PipelineQueries {
     "q_docs_text_stats" -> sqlTextStats,
     "q_docs_exact_dedup" -> sqlExactDedup,
     "q_docs_ngram_jaccard" -> sqlNgramJaccard,
+    "q_docs_ngram_hot_shingles" -> sqlNgramHotShingles,
     "q_docs_simhash" -> sqlSimHash,
     "q_docs_minhash_lsh" -> sqlMinHashLsh,
+    "q_docs_minhash_overflow" -> sqlMinHashOverflow,
     "q_docs_dup_clusters" -> sqlDupClusters,
     "q_docs_langid" -> sqlLangId,
     "q_embed_topk" -> sqlEmbedTopK,
