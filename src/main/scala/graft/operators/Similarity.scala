@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
  *  - per-row norms are computed ONCE before any join (never per pair);
  *  - the per-pair score is the native codegen'd [[graft.plans.VecDotExpression]]
  *    (`vec_dot`), not an interpreted higher-order function;
- *  - all post-join shuffles carry only (query_id, cand_id, cosine) —
- *    vectors never ride a dedup/rank exchange;
- *  - pair dedup (multi-table / multi-probe collisions) is a partial
- *    hash aggregate (`groupBy.agg(first)`), combining map-side, not a
- *    `dropDuplicates` of wide rows.
+ *  - bucket/cell self-joins ship IDS ONLY (the minhash "signatures
+ *    through the join, payload post-match" pattern): candidate pairs
+ *    are deduped on the narrow (query_id, cand_id) projection
+ *    (partial hash aggregate, map-side), then vectors are fetched by
+ *    id for the surviving set — no vector ever rides a bucket, dedup
+ *    or rank exchange.
  */
 object Similarity {
 
@@ -130,19 +131,29 @@ object Similarity {
   def probeCells(v: Array[Double], centroids: Array[Array[Double]], nProbe: Int): Array[Int] =
     centroids.indices.sortBy(c => -cosineLocal(v, centroids(c))).take(nProbe).toArray
 
-  /** Shared tail: score joined (qv,qn,cv,cn) pairs, dedupe on the
-    * narrow (ids, cosine) projection, rank per query. */
-  private def scoreDedupRank(joined: DataFrame, k: Int, s: SparkSession): DataFrame = {
+  /** Shared tail for the bucketed ANN paths — the minhash "signatures
+    * only through the join" pattern applied to vectors:
+    *  1. `cands` arrives as bare (query_id, cand_id) pairs — the bucket
+    *     self-join that produced them carried only ids + bucket keys,
+    *     never a vector;
+    *  2. collisions (multi-table / multi-probe) are deduped FIRST, on
+    *     the narrow pair projection (partial hash aggregate, map-side);
+    *  3. vectors + precomputed norms are fetched by id for the
+    *     surviving candidate set only (two id-keyed joins), scored with
+    *     the codegen'd `vec_dot`, and ranked per query. */
+  private def fetchScoreRank(cands: DataFrame, vecs: DataFrame, k: Int,
+      s: SparkSession): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    joined
+    val q = vecs.select(col("id").as("query_id"), col("v").as("qv"), col("n2").as("qn"))
+    val c = vecs.select(col("id").as("cand_id"), col("v").as("cv"), col("n2").as("cn"))
+    cands
       .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id")).distinct()
+      .join(q, Seq("query_id"))
+      .join(c, Seq("cand_id"))
       .withColumn("cosine", pairCosine(s))
       .select(col("query_id"), col("cand_id"), col("cosine"))
-      // multi-table/multi-probe collisions have identical cosine:
-      // first() under partial aggregation is deterministic in value
-      .groupBy(col("query_id"), col("cand_id"))
-      .agg(first(col("cosine")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
@@ -161,11 +172,12 @@ object Similarity {
     val assignU = udf((v: Seq[Double]) => nearestCentroid(v.toArray, centroids)._1)
     val probeU = udf((v: Seq[Double]) => probeCells(v.toArray, centroids, nProbe))
     val base = df.select(col("id"), asDouble(col("vec")).as("v"))
-    val inverted = base.select(assignU(col("v")).as("cell"),
-      col("id").as("cand_id"), col("v").as("cv"), norm(col("v")).as("cn"))
-    val queries = base.select(col("id").as("query_id"), col("v").as("qv"),
-        norm(col("v")).as("qn"), explode(probeU(col("v"))).as("cell"))
-    scoreDedupRank(queries.join(inverted, Seq("cell")), k, df.sparkSession)
+      .withColumn("n2", norm(col("v")))
+    // the cell join ships ids only — vectors are fetched post-match
+    val inverted = base.select(assignU(col("v")).as("cell"), col("id").as("cand_id"))
+    val queries = base.select(col("id").as("query_id"),
+      explode(probeU(col("v"))).as("cell"))
+    fetchScoreRank(queries.join(inverted, Seq("cell")), base, k, df.sparkSession)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -213,14 +225,14 @@ object Similarity {
     val nPlanes = if (planes > 0) planes else autoPlanes(df.count())
     val sigsU = udf((v: Seq[Double]) =>
       Array.tabulate(tables)(tb => hyperplaneSignature(v, nPlanes, seed + 1000L * tb)))
-    val withSig = df.select(col("id"), asDouble(col("vec")).as("v"))
+    val base = df.select(col("id"), asDouble(col("vec")).as("v"))
       .withColumn("n2", norm(col("v")))
-      .select(col("id"), col("v"), col("n2"),
-        posexplode(sigsU(col("v"))).as(Seq("table", "bucket")))
-    val a = withSig.select(col("table"), col("bucket"),
-      col("id").as("query_id"), col("v").as("qv"), col("n2").as("qn"))
-    val b = withSig.select(col("table"), col("bucket"),
-      col("id").as("cand_id"), col("v").as("cv"), col("n2").as("cn"))
-    scoreDedupRank(a.join(b, Seq("table", "bucket")), k, df.sparkSession)
+    // the bucket self-join ships (table, bucket, id) only — vectors
+    // are fetched by id for the matched candidate set
+    val withSig = base.select(col("id"),
+      posexplode(sigsU(col("v"))).as(Seq("table", "bucket")))
+    val a = withSig.select(col("table"), col("bucket"), col("id").as("query_id"))
+    val b = withSig.select(col("table"), col("bucket"), col("id").as("cand_id"))
+    fetchScoreRank(a.join(b, Seq("table", "bucket")), base, k, df.sparkSession)
   }
 }
