@@ -64,31 +64,17 @@ object SpectralQueries {
     }.select((col("user_id") +: names.map(col)): _*).orderBy(col("user_id"))
   }
 
-  /** The Press §13.8 tau-corrected Lomb-Scargle, relationally: exact
-    * grid derivation (bit-identical op order for duration/step/size),
+  /** The Press §13.8 tau-corrected Lomb-Scargle, relationally, over a
+    * `freqs(user_id, k, w0, n, mu, s2)` CTE supplied by the caller:
     * per-(series, freq, point) trig expansion, the two-pass tau then
     * power aggregation, strict local-maxima peak detection via
     * lag/lead, rank by power, zero-padded assembly. */
-  private val sqlPeriodogramDirect: String = {
+  private def sqlLombScargle(freqCtes: String): String = {
     s"""WITH p AS (SELECT user_id, epoch(ts) - $TBase AS t, value AS m FROM events),
        | g AS (SELECT user_id, count(*) AS n, min(t) AS t0, max(t) AS t1,
        |        avg(m) AS mu, var_samp(m) AS s2
        |       FROM p GROUP BY user_id HAVING count(*) >= 4),
-       | -- grid (freq.rs:313-331 semantics, op order mirrored exactly):
-       | -- step = 2 pi (n-1) / (n * res * duration), minf = 4 pi / duration,
-       | -- maxf = avg-Nyquist * 0.5, size = round((maxf-minf)/step) or 1
-       | grid AS (SELECT user_id, n, mu, s2,
-       |           4.0 * pi() / (t1 - t0) AS minf,
-       |           2.0 * pi() * (n - 1.0) / (n * 2.0 * (t1 - t0)) AS step,
-       |           pi() * (n - 1) / (t1 - t0) * 0.5 AS maxf
-       |          FROM g),
-       | gsize AS (SELECT *, CASE WHEN (maxf - minf) / step >= 1.0
-       |            THEN CAST(floor((maxf - minf) / step + 0.5) AS BIGINT)
-       |            ELSE 1 END AS sz
-       |           FROM grid),
-       | freqs AS (SELECT user_id, n, mu, s2, sz, minf + step * k AS w0,
-       |            minf, step, k
-       |           FROM (SELECT *, unnest(range(0, sz)) AS k FROM gsize)),
+       | $freqCtes,
        | -- pass 1: tau from sums of sin/cos(2 w t)
        | tau AS (SELECT f.user_id, f.k,
        |          sum(sin(2.0 * f.w0 * p.t)) AS ss, sum(cos(2.0 * f.w0 * p.t)) AS sc
@@ -99,15 +85,15 @@ object SpectralQueries {
        |           sqrt(0.5 * (1.0 + sc / sqrt(ss*ss + sc*sc))) AS cost
        |          FROM tau),
        | -- pass 2: tau-rotated projections
-       | pw AS (SELECT f.user_id, f.k, f.n, f.mu, f.s2, f.minf, f.step, f.sz,
+       | pw AS (SELECT f.user_id, f.k, f.n, f.s2, f.w0,
        |         sum((p.m - f.mu) * (sin(f.w0*p.t)*t2.cost - cos(f.w0*p.t)*t2.sint)) AS msin,
        |         sum((p.m - f.mu) * (cos(f.w0*p.t)*t2.cost + sin(f.w0*p.t)*t2.sint)) AS mcos,
        |         sum(pow(sin(f.w0*p.t)*t2.cost - cos(f.w0*p.t)*t2.sint, 2)) AS ssin2
        |        FROM freqs f
        |        JOIN tau2 t2 ON t2.user_id = f.user_id AND t2.k = f.k
        |        JOIN p ON p.user_id = f.user_id
-       |        GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
-       | power AS (SELECT user_id, k, n, minf, step, sz,
+       |        GROUP BY 1, 2, 3, 4, 5),
+       | power AS (SELECT user_id, k, w0,
        |            CASE WHEN (msin = 0.0 AND ssin2 = 0.0)
        |                   OR (mcos = 0.0 AND (n - ssin2) = 0.0) OR s2 = 0.0 THEN 0.0
        |             ELSE 0.5 * (msin*msin/ssin2 + mcos*mcos/(n - ssin2)) / s2
@@ -117,16 +103,16 @@ object SpectralQueries {
        |            CASE WHEN count(*) >= 2 THEN stddev_samp(pw) ELSE 0.0 END AS pstd
        |           FROM power GROUP BY 1),
        | -- strict local maxima: rise then (non-strict) fall
-       | nb AS (SELECT user_id, k, pw, minf, step,
+       | nb AS (SELECT user_id, k, pw, w0,
        |         lag(pw) OVER w AS pl, lead(pw) OVER w AS pn
        |        FROM power WINDOW w AS (PARTITION BY user_id ORDER BY k)),
-       | cand AS (SELECT user_id, k, pw, minf, step,
+       | cand AS (SELECT user_id, k, pw, w0,
        |           row_number() OVER (PARTITION BY user_id
        |             ORDER BY pw DESC, k) AS rk
        |          FROM nb
        |          WHERE pl IS NOT NULL AND pn IS NOT NULL AND pw > pl AND pn <= pw),
        | top AS (SELECT c.user_id, c.rk,
-       |          2.0 * pi() / (c.minf + c.step * c.k) AS period,
+       |          2.0 * pi() / c.w0 AS period,
        |          (c.pw - s.pmean) / s.pstd AS snr
        |         FROM cand c JOIN stats s ON s.user_id = c.user_id
        |         WHERE c.rk <= 2)
@@ -141,6 +127,59 @@ object SpectralQueries {
        |   AS periodogram_peak_snr_1
        |FROM g LEFT JOIN top ON top.user_id = g.user_id
        |GROUP BY g.user_id ORDER BY g.user_id""".stripMargin
+  }
+
+  /** Dynamic linear grid (freq.rs:313-331 semantics, op order mirrored
+    * exactly): step = 2 pi (n-1) / (n * res * duration), minf =
+    * 4 pi / duration, maxf = avg-Nyquist * factor, size =
+    * round((maxf-minf)/step) or 1. */
+  private def sqlPeriodogramDirect: String = sqlLombScargle(
+    s"""grid AS (SELECT user_id, n, mu, s2,
+       |           4.0 * pi() / (t1 - t0) AS minf,
+       |           2.0 * pi() * (n - 1.0) / (n * 2.0 * (t1 - t0)) AS step,
+       |           pi() * (n - 1) / (t1 - t0) * 0.5 AS maxf
+       |          FROM g),
+       | gsize AS (SELECT *, CASE WHEN (maxf - minf) / step >= 1.0
+       |            THEN CAST(floor((maxf - minf) / step + 0.5) AS BIGINT)
+       |            ELSE 1 END AS sz
+       |           FROM grid),
+       | freqs AS (SELECT user_id, n, mu, s2, minf + step * k AS w0, k
+       |           FROM (SELECT *, unnest(range(0, sz)) AS k FROM gsize))""".stripMargin)
+
+  /** A NON-UNIFORM fixed physical grid shared by all series — the
+    * FreqGrid::Arbitrary use case (freq.rs:146-162): 48 log-spaced
+    * frequencies spanning the corpus' period range. Values are
+    * serialized at 17 significant digits into BOTH the engine array
+    * and the SQL literal list, so the two sides parse bit-identical
+    * doubles. */
+  private val FixedGridFreqs: Array[Double] =
+    (0 until 48).map(i => 2.0e-5 * math.pow(1.07, i)).toArray
+
+  /** Periodogram over the fixed arbitrary grid — exercises the
+    * direct-trig (non-recurrent) stream distributed, with a full value
+    * oracle through the shared relational Lomb-Scargle. */
+  private def qPeriodogramFixedGrid(s: SparkSession, dir: String): DataFrame = {
+    val feats = Seq(PeriodogramFeature(peaks = 2,
+      fixedGrid = Some(graft.ref.Periodogram.ArbitraryGrid(FixedGridFreqs))))
+    val names = SeriesFeatures.outputNames(feats)
+    val base = pts(s, dir)
+      .groupBy(col("user_id"))
+      .agg(SeriesFeatures.collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"),
+        count(lit(1)).as("n_obs"))
+      .filter(col("n_obs") >= 4)
+      .withColumn("f", SeriesFeatures.extract(feats)(col("p")))
+    names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
+      d.withColumn(n, round(col("f").getItem(i) + 1.2345e-9, 6))
+    }.select((col("user_id") +: names.map(col)): _*).orderBy(col("user_id"))
+  }
+
+  private def sqlPeriodogramFixedGrid: String = {
+    val lits = FixedGridFreqs.map(d => f"$d%.17e").mkString("[", ", ", "]")
+    sqlLombScargle(
+      s"""freqs AS (SELECT g.user_id, g.n, g.mu, g.s2, ks.k,
+         |            ($lits)[ks.k + 1] AS w0
+         |           FROM g, (SELECT unnest(range(0, ${FixedGridFreqs.length})) AS k) ks)"""
+        .stripMargin)
   }
 
   /** Transformed meta-feature through the reference-port path
@@ -283,11 +322,13 @@ object SpectralQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_periodogram" -> qPeriodogram _,
     "q_periodogram_direct" -> qPeriodogramDirect _,
+    "q_periodogram_fixed_grid" -> qPeriodogramFixedGrid _,
     "q_transformed_features" -> qTransformedFeatures _,
     "q_curve_fits" -> qCurveFits _,
     "q_mc_periodogram" -> qMcPeriodogram _)
 
   val oracles: Map[String, String] = Map(
     "q_periodogram_direct" -> sqlPeriodogramDirect,
+    "q_periodogram_fixed_grid" -> sqlPeriodogramFixedGrid,
     "q_transformed_features" -> sqlTransformedFeatures)
 }

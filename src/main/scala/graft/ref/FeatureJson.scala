@@ -61,6 +61,22 @@ object FeatureJson {
           case Periodogram.LogNorm => "log"
         })
         o.put("fast", p.useFft)
+        // FreqGridStrategy: absent = dynamic (from resolution/nyquist),
+        // present = fixed grid (freq.rs FreqGridStrategy::Fixed)
+        p.fixedGrid.foreach { g =>
+          val fg = o.putObject("freq_grid")
+          g match {
+            case Periodogram.ArbitraryGrid(freqs) =>
+              val a = fg.putArray("arbitrary")
+              freqs.foreach(a.add)
+            case Periodogram.LinearGrid(start, step, size) =>
+              val l = fg.putObject("linear")
+              l.put("start", start); l.put("step", step); l.put("size", size)
+            case Periodogram.ZeroBasedPow2Grid(step, log2) =>
+              val z = fg.putObject("pow2")
+              z.put("step", step); z.put("log2_size_m1", log2)
+          }
+        }
         val arr = o.putArray("phase_features")
         p.phaseFeatures.foreach(pf => arr.add(node(pf)))
       }
@@ -141,9 +157,24 @@ object FeatureJson {
         val phase = Option(b.get("phase_features"))
           .map(a => (0 until a.size()).map(i => fromNode(a.get(i))).toSeq)
           .getOrElse(Seq.empty)
+        val fixedGrid = Option(b.get("freq_grid")).map { fg =>
+          if (fg.has("arbitrary")) {
+            val a = fg.get("arbitrary")
+            Periodogram.ArbitraryGrid(
+              (0 until a.size()).map(i => a.get(i).asDouble()).toArray)
+          } else if (fg.has("linear")) {
+            val l = fg.get("linear")
+            Periodogram.LinearGrid(l.get("start").asDouble(),
+              l.get("step").asDouble(), l.get("size").asInt())
+          } else if (fg.has("pow2")) {
+            val z = fg.get("pow2")
+            Periodogram.ZeroBasedPow2Grid(z.get("step").asDouble(),
+              z.get("log2_size_m1").asInt())
+          } else throw new IllegalArgumentException(s"unknown freq_grid: $fg")
+        }
         PeriodogramFeature(b.get("peaks").asInt(),
           Periodogram.GridParams(d("resolution", 10.0), d("max_freq_factor", 1.0), nyquist),
-          norm, b.get("fast").asBoolean(), phase)
+          norm, b.get("fast").asBoolean(), phase, fixedGrid)
       case "Transformed" =>
         val tr = b.get("transformer").asText() match {
           case "identity" => Transformer.Identity
@@ -229,6 +260,25 @@ object FeatureJson {
       norm.put("type", "string")
       Seq("psd", "standard", "model", "log").foreach(norm.withArray("enum").add)
       props.putObject("fast").put("type", "boolean")
+      val fg = props.putObject("freq_grid")
+      fg.put("type", "object")
+      fg.put("minProperties", 1)
+      fg.put("maxProperties", 1)
+      val fgp = fg.putObject("properties")
+      val arb = fgp.putObject("arbitrary")
+      arb.put("type", "array")
+      arb.putObject("items").put("type", "number")
+      val lin = fgp.putObject("linear")
+      lin.put("type", "object")
+      val linp = lin.putObject("properties")
+      linp.putObject("start").put("type", "number")
+      linp.putObject("step").put("type", "number")
+      linp.putObject("size").put("type", "integer")
+      val pw2 = fgp.putObject("pow2")
+      pw2.put("type", "object")
+      val pw2p = pw2.putObject("properties")
+      pw2p.putObject("step").put("type", "number")
+      pw2p.putObject("log2_size_m1").put("type", "integer")
       val pf = props.putObject("phase_features")
       pf.put("type", "array")
       pf.putObject("items").put("$ref", "#/definitions/feature")

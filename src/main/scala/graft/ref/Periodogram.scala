@@ -55,22 +55,60 @@ object Periodogram {
   sealed trait FreqGrid extends Serializable {
     def size: Int
     def get(i: Int): Double
-    /** (first angle, angle step) for the recurrent sin/cos stream of
-      * sin/cos(freq_k * time), k = 0..size-1. */
+    /** Stream of (sin, cos)(freq_k * time), k = 0..size-1 — the
+      * reference's iter_sin_cos_mul (freq.rs:133-141): uniform grids
+      * use the angle-addition recurrence, arbitrary grids direct trig
+      * per point. */
+    def sinCos(time: Double): SinCosStream
+  }
+
+  /** Uniform grids: recurrent stream from (first angle, angle step). */
+  sealed trait UniformFreqGrid extends FreqGrid {
+    /** (first angle, angle step) for sin/cos(freq_k * time). */
     def angles(time: Double): (Double, Double)
+    final def sinCos(time: Double): SinCosStream = {
+      val (first, step) = angles(time)
+      new RecurrentSinCos(first, step)
+    }
   }
 
   /** freq_k = step * k, size = 2^log2 + 1 (freq.rs:230-290). */
-  final case class ZeroBasedPow2Grid(step: Double, log2SizeM1: Int) extends FreqGrid {
+  final case class ZeroBasedPow2Grid(step: Double, log2SizeM1: Int) extends UniformFreqGrid {
     val size: Int = (1 << log2SizeM1) + 1
     def get(i: Int): Double = step * i
     def angles(time: Double): (Double, Double) = (0.0, step * time)
   }
 
   /** freq_k = start + step * k (freq.rs:293-354). */
-  final case class LinearGrid(start: Double, step: Double, size: Int) extends FreqGrid {
+  final case class LinearGrid(start: Double, step: Double, size: Int) extends UniformFreqGrid {
     def get(i: Int): Double = start + step * i
     def angles(time: Double): (Double, Double) = (start * time, step * time)
+  }
+
+  /** User-supplied sorted frequency grid (freq.rs:146-162,196-216:
+    * FreqGrid::Arbitrary over a SortedArray): the fixed physical grid
+    * a user evaluates across ALL series. No recurrence is possible —
+    * the sin/cos stream computes trig per frequency, exactly like the
+    * reference's from_angles iterator. */
+  final case class ArbitraryGrid(freqs: Array[Double]) extends FreqGrid {
+    require(freqs.nonEmpty, "arbitrary frequency grid must be non-empty")
+    require(freqs.indices.tail.forall(i => freqs(i - 1) <= freqs(i)),
+      "arbitrary frequency grid must be sorted ascending")
+    def size: Int = freqs.length
+    def get(i: Int): Double = freqs(i)
+    def sinCos(time: Double): SinCosStream = new SinCosStream {
+      private var i = -1
+      def next(): Unit = i += 1
+      def sin: Double = math.sin(freqs(i) * time)
+      def cos: Double = math.cos(freqs(i) * time)
+    }
+    // Array fields break case-class equality (reference identity) —
+    // compare by content so serde round-trips are value-equal
+    override def equals(o: Any): Boolean = o match {
+      case ArbitraryGrid(fs) => java.util.Arrays.equals(freqs, fs)
+      case _ => false
+    }
+    override def hashCode(): Int = java.util.Arrays.hashCode(freqs)
   }
 
   /** Dynamic grid parameters (freq.rs:400-418): grid step
@@ -110,10 +148,17 @@ object Periodogram {
 
   // ---------------- recurrent sin/cos (sin_cos_iterator.rs:73-106) ----------------
 
+  /** Advance-then-read stream of (sin, cos) values per grid frequency. */
+  sealed trait SinCosStream {
+    def next(): Unit
+    def sin: Double
+    def cos: Double
+  }
+
   /** In-place angle-addition recurrence: 2 mults + 2 adds per step
     * instead of trig calls. State arrays hold current (sin, cos) per
     * data point; `inc` holds (sin(step), cos(step)). */
-  private final class RecurrentSinCos(first: Double, step: Double) {
+  private final class RecurrentSinCos(first: Double, step: Double) extends SinCosStream {
     private var s = math.sin(first)
     private var c = math.cos(first)
     private val si = math.sin(step)
@@ -141,14 +186,12 @@ object Periodogram {
     val mMean = LightCurve.mean(m)
     val mStd2 = LightCurve.std2(m, mMean)
 
-    val scOmegaX = new Array[RecurrentSinCos](n)
-    val scTwoOmegaX = new Array[RecurrentSinCos](n)
+    val scOmegaX = new Array[SinCosStream](n)
+    val scTwoOmegaX = new Array[SinCosStream](n)
     var i = 0
     while (i < n) {
-      val (f1, s1) = grid.angles(t(i))
-      scOmegaX(i) = new RecurrentSinCos(f1, s1)
-      val (f2, s2) = grid.angles(2.0 * t(i))
-      scTwoOmegaX(i) = new RecurrentSinCos(f2, s2)
+      scOmegaX(i) = grid.sinCos(t(i))
+      scTwoOmegaX(i) = grid.sinCos(2.0 * t(i))
       i += 1
     }
 
@@ -347,7 +390,12 @@ final case class PeriodogramFeature(
     params: Periodogram.GridParams = Periodogram.GridParams(),
     normalization: Periodogram.Normalization = Periodogram.Psd,
     useFft: Boolean = false,
-    phaseFeatures: Seq[Feature] = Seq.empty) extends Feature {
+    phaseFeatures: Seq[Feature] = Seq.empty,
+    /** Fixed-grid strategy (freq.rs FreqGridStrategy::Fixed): when set,
+      * this grid — e.g. a user-supplied [[Periodogram.ArbitraryGrid]]
+      * physical grid shared by ALL series — replaces the dynamic
+      * per-series derivation from `params`. */
+    fixedGrid: Option[Periodogram.FreqGrid] = None) extends Feature {
 
   val name = "periodogram"
   override val names: Seq[String] =
@@ -392,14 +440,23 @@ final case class PeriodogramFeature(
   def evalNoCheck(lc: LightCurve): Array[Double] = {
     if (lc.t(lc.n - 1) == lc.t(0))
       throw ZeroDivisionException("zero duration, no frequency grid")
-    val (grid: Periodogram.FreqGrid, raw) =
-      if (useFft) {
+    val (grid: Periodogram.FreqGrid, raw) = (fixedGrid, useFft) match {
+      case (Some(g: Periodogram.ZeroBasedPow2Grid), true) =>
+        (g, Periodogram.fftPower(lc.t, lc.m, g))
+      case (Some(g), true) =>
+        // the reference's to_zero_based_pow2 contract: FFT power only
+        // evaluates on a zero-based pow2 grid (periodogram/mod.rs)
+        throw new IllegalArgumentException(
+          s"FFT power requires a zero-based pow2 grid, got ${g.getClass.getSimpleName}")
+      case (Some(g), false) =>
+        (g, Periodogram.directPower(lc.t, lc.m, g))
+      case (None, true) =>
         val g = params.pow2FromT(lc.t)
         (g, Periodogram.fftPower(lc.t, lc.m, g))
-      } else {
+      case (None, false) =>
         val g = params.linearFromT(lc.t)
         (g, Periodogram.directPower(lc.t, lc.m, g))
-      }
+    }
     val power = normalization(raw, lc.n)
 
     val idx = Periodogram.peakIndicesReverseSorted(power)

@@ -21,6 +21,12 @@ class FeatureJsonSpec extends AnyFunSuite {
       params = Periodogram.GridParams(5.0, 2.0, Periodogram.QuantileNyquist(0.1)),
       normalization = Periodogram.Standard,
       phaseFeatures = Seq(Features.Amplitude, Features.Eta)),
+    PeriodogramFeature(peaks = 2,
+      fixedGrid = Some(Periodogram.ArbitraryGrid(Array(0.5, 0.9, 1.7, 2.4, 6.0)))),
+    PeriodogramFeature(peaks = 1,
+      fixedGrid = Some(Periodogram.LinearGrid(0.25, 0.125, 33))),
+    PeriodogramFeature(peaks = 1, useFft = true,
+      fixedGrid = Some(Periodogram.ZeroBasedPow2Grid(0.125, 5))),
     Transformed(Features.Amplitude, Transformer.Ln1p),
     Transformed(Features.Mean, Transformer.ClippedLg(-300.0)),
     CurveFitFeature(NonlinearFit.BazinModel, nIterations = 8),

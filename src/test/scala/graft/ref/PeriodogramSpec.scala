@@ -59,6 +59,52 @@ class PeriodogramSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0.0, 0.0))
   }
 
+  test("arbitrary grid: direct trig stream matches the linear recurrence on the same freqs") {
+    val rng = new java.util.Random(5)
+    val t = Array.fill(80)(rng.nextDouble() * 10.0).sorted
+    val m = t.map(x => math.sin(1.3 * x) + 0.2 * rng.nextDouble())
+    val lin = Periodogram.LinearGrid(0.5, 0.05, 64)
+    val arb = Periodogram.ArbitraryGrid(Array.tabulate(64)(lin.get))
+    val pLin = Periodogram.directPower(t, m, lin)
+    val pArb = Periodogram.directPower(t, m, arb)
+    // recurrence vs per-point trig drift stays far below the 1e-6 gate
+    pLin.zip(pArb).foreach { case (a, b) => relEq(a, b, 1e-9) }
+  }
+
+  test("arbitrary grid: non-uniform freqs evaluate, get/size honor the array") {
+    val freqs = Array(0.3, 0.7, 0.9, 2.0, 5.5)
+    val g = Periodogram.ArbitraryGrid(freqs)
+    assert(g.size == 5 && g.get(3) == 2.0)
+    val t = Array.tabulate(50)(i => i / 5.0)
+    val m = t.map(x => math.cos(0.9 * x))
+    val p = Periodogram.directPower(t, m, g)
+    // the planted frequency wins on this sparse grid
+    assert(p.indexOf(p.max) == 2, s"power ${p.toSeq}")
+    // strategy contract: unsorted grids are rejected, FFT needs pow2
+    intercept[IllegalArgumentException] {
+      Periodogram.ArbitraryGrid(Array(1.0, 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      PeriodogramFeature(useFft = true, fixedGrid = Some(g))
+        .evalNoCheck(LightCurve.unweighted(t, m))
+    }
+  }
+
+  test("fixed-grid strategy replaces the dynamic derivation") {
+    val rng = new java.util.Random(11)
+    val t = Array.fill(60)(rng.nextDouble() * 4.0).sorted
+    val m = t.map(x => math.sin(2.0 * math.Pi / 0.9 * x))
+    val freqs = Array.tabulate(128)(i => 1.0 + 0.1 * i)
+    val fixed = PeriodogramFeature(peaks = 1,
+      fixedGrid = Some(Periodogram.ArbitraryGrid(freqs)))
+      .evalNoCheck(LightCurve.unweighted(t, m))
+    // best period must come FROM the supplied grid
+    val fromGrid = freqs.map(f => 2.0 * math.Pi / f)
+    assert(fromGrid.exists(p => math.abs(p - fixed(0)) < 1e-12),
+      s"period ${fixed(0)} not on the fixed grid")
+    assert(math.abs(fixed(0) - 0.9) < 0.05)
+  }
+
   test("peak indices semantics (reference peak_indices.rs goldens)") {
     import Periodogram.peakIndicesReverseSorted
     assert(peakIndicesReverseSorted(Array(0.0, 1.0, 0.0)).toSeq == Seq(1))
