@@ -61,6 +61,60 @@ object SeriesFeatures {
   def outputNames(features: Seq[Feature]): Seq[String] = features.flatMap(_.names)
 
   /**
+   * Bounded-per-group collection for whole-series kernels (periodogram,
+   * curve fits): a series with more than `maxN` observations is FIRST
+   * downsampled by reference Bins semantics (bins.rs:10-33 — bucket
+   * j = floor(t / window), t* = (j + 0.5) window, m* = Σmw/Σw,
+   * w* = Σw/count) at window = duration/maxN, through a SCALAR-state
+   * aggregation on (key, bucket) — so no task ever materializes more
+   * than ~maxN points for one series, no matter how hot it is. Series
+   * at or under maxN take the exact collect path bit-identically.
+   *
+   * Output: (key, n_obs = the ORIGINAL observation count for gating,
+   * p = sorted points struct). Three bounded shuffles on the group key
+   * (span stats, bin aggregation, final collect) replace the one
+   * unbounded collect — the cap is the price of a memory contract the
+   * plain collect (spill-or-die) cannot give.
+   *
+   * Caveat: the binned route's per-bucket float sums merge in
+   * partition order, so binned values match single-node [[graft.ref.Bins]]
+   * to ~1e-15 relative, not bitwise — inherent to any distributed
+   * downsample, and confined to the > maxN regime which is lossy by
+   * design.
+   */
+  def boundedCollect(pts: DataFrame, key: String, maxN: Int): DataFrame = {
+    val k = col(key)
+    val spans = pts.groupBy(k).agg(
+      min(col("t")).as("_t0"), max(col("t")).as("_t1"),
+      count(lit(1)).as("n_obs"))
+    val joined = pts.join(spans, Seq(key))
+    val small = joined.filter(col("n_obs") <= maxN)
+      .groupBy(k, col("n_obs"))
+      .agg(collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"))
+      .select(k, col("n_obs"), col("p"))
+    val win = (col("_t1") - col("_t0")) / maxN.toDouble
+    // zero-duration hot series degenerate to one bucket (the kernels
+    // reject zero-duration series downstream anyway)
+    val large = joined.filter(col("n_obs") > maxN)
+      .withColumn("_j",
+        when(col("_t1") > col("_t0"), floor(col("t") / win))
+          .otherwise(lit(0.0)).cast("long"))
+      .groupBy(k, col("n_obs"), col("_t0"), col("_t1"), col("_j"))
+      .agg(count(lit(1)).as("_c"),
+        sum(col("m") * col("w")).as("_smw"),
+        sum(col("w")).as("_sw"))
+      .select(k, col("n_obs"),
+        ((col("_j") + 0.5) * win).as("t"),
+        col("_j").as("idx"),
+        (col("_smw") / col("_sw")).as("m"),
+        (col("_sw") / col("_c")).as("w"))
+      .groupBy(k, col("n_obs"))
+      .agg(collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"))
+      .select(k, col("n_obs"), col("p"))
+    small.unionByName(large)
+  }
+
+  /**
    * Column computing `features` over a sorted collected-points column
    * (as produced by [[collectSorted]]): `extract(fs)($"pts")` yields
    * `array<double>` of arity `fs.map(_.size).sum`.

@@ -17,6 +17,15 @@ object SpectralQueries {
 
   private val TBase = 1704067200.0
 
+  /** Per-series point cap for the whole-series spectral kernels: a
+    * periodogram/fit inherently needs the full series as group state,
+    * but an unbounded hot series must not be able to OOM an executor —
+    * beyond this, [[SeriesFeatures.boundedCollect]] downsamples by
+    * reference Bins semantics first (scalar-state aggregation). Far
+    * above every series in the test corpora (≈400 points), so oracled
+    * outputs are unchanged; 100k points ≈ 3 MB of group state. */
+  private val MaxSeriesPoints = 100000
+
   private def pts(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet").select(
       col("user_id"),
@@ -25,15 +34,15 @@ object SpectralQueries {
       lit(1.0).as("w"),
       col("event_id").as("idx"))
 
+  private def boundedPts(s: SparkSession, dir: String): DataFrame =
+    SeriesFeatures.boundedCollect(pts(s, dir), "user_id", MaxSeriesPoints)
+
   /** Top-2 Lomb-Scargle peaks per series (default dynamic grid:
     * resolution 10, average Nyquist, PSD normalization). */
   private def qPeriodogram(s: SparkSession, dir: String): DataFrame = {
     val feats = Seq(PeriodogramFeature(peaks = 2))
     val names = SeriesFeatures.outputNames(feats)
-    val base = pts(s, dir)
-      .groupBy(col("user_id"))
-      .agg(SeriesFeatures.collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"),
-        count(lit(1)).as("n_obs"))
+    val base = boundedPts(s, dir)
       .filter(col("n_obs") >= 4)
       .withColumn("f", SeriesFeatures.extract(feats)(col("p")))
     names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
@@ -53,10 +62,7 @@ object SpectralQueries {
     val feats = Seq(PeriodogramFeature(peaks = 2,
       params = graft.ref.Periodogram.GridParams(resolution = 2.0, maxFreqFactor = 0.5)))
     val names = SeriesFeatures.outputNames(feats)
-    val base = pts(s, dir)
-      .groupBy(col("user_id"))
-      .agg(SeriesFeatures.collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"),
-        count(lit(1)).as("n_obs"))
+    val base = boundedPts(s, dir)
       .filter(col("n_obs") >= 4)
       .withColumn("f", SeriesFeatures.extract(feats)(col("p")))
     names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
@@ -162,10 +168,7 @@ object SpectralQueries {
     val feats = Seq(PeriodogramFeature(peaks = 2,
       fixedGrid = Some(graft.ref.Periodogram.ArbitraryGrid(FixedGridFreqs))))
     val names = SeriesFeatures.outputNames(feats)
-    val base = pts(s, dir)
-      .groupBy(col("user_id"))
-      .agg(SeriesFeatures.collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"),
-        count(lit(1)).as("n_obs"))
+    val base = boundedPts(s, dir)
       .filter(col("n_obs") >= 4)
       .withColumn("f", SeriesFeatures.extract(feats)(col("p")))
     names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
@@ -230,10 +233,7 @@ object SpectralQueries {
       CurveFitFeature(NonlinearFit.VillarModel),
       CurveFitFeature(NonlinearFit.LinexpModel))
     val names = SeriesFeatures.outputNames(feats)
-    val base = pts(s, dir)
-      .groupBy(col("user_id"))
-      .agg(SeriesFeatures.collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"),
-        count(lit(1)).as("n_obs"))
+    val base = boundedPts(s, dir)
       .filter(col("n_obs") >= 8)
       .withColumn("f", SeriesFeatures.extract(feats)(col("p")))
     val raw = names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
