@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{Rollup, Transcripts}
+import graft.engine.{Rollup, RollupBaselines, Transcripts}
 import org.apache.spark.sql.SparkSession
 
 /** Iteration probe for the rollup headline: builds the three tiers at
@@ -40,19 +40,19 @@ object RollupProbe {
       val series = Transcripts.series(spark.read.parquet(inPath))
       val s1 = stage {
         (if (variant == "native") Rollup.tierFromTurns(series, 60L)
-         else Rollup.tierFromTurnsCollect(series, 60L))
+         else RollupBaselines.tierFromTurnsCollect(series, 60L))
           .write.mode("overwrite").parquet("target/bench/probe/tier=1m")
       }
       val s2 = stage {
         (if (variant == "native")
           Rollup.tierFromTier(spark.read.parquet("target/bench/probe/tier=1m"), 3600L)
-        else Rollup.tierFromTierCollect(spark.read.parquet("target/bench/probe/tier=1m"), 3600L))
+        else RollupBaselines.tierFromTierCollect(spark.read.parquet("target/bench/probe/tier=1m"), 3600L))
           .write.mode("overwrite").parquet("target/bench/probe/tier=1h")
       }
       val s3 = stage {
         (if (variant == "native")
           Rollup.tierFromTier(spark.read.parquet("target/bench/probe/tier=1h"), 86400L)
-        else Rollup.tierFromTierCollect(spark.read.parquet("target/bench/probe/tier=1h"), 86400L))
+        else RollupBaselines.tierFromTierCollect(spark.read.parquet("target/bench/probe/tier=1h"), 86400L))
           .write.mode("overwrite").parquet("target/bench/probe/tier=1d")
       }
       val secs = s1 + s2 + s3

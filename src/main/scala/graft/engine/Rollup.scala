@@ -86,42 +86,6 @@ object Rollup {
     TierPoint(n, sw, smw, smw / sw, sw / n, feats)
   }
 
-  /** `sort_array(collect_list(struct(...)))` — the deterministic
-    * per-bucket state. Lexicographic struct order = (t, idx) order
-    * since t leads; idx breaks ties (stable `(conv_id, turn_idx)`
-    * order per the correctness gate). */
-  private def collectPoints(t: Column, idx: Column, m: Column, w: Column,
-      n: Column, sw: Column, smw: Column): Column =
-    sort_array(collect_list(struct(
-      t.cast("double").as("t"), idx.cast("long").as("i"),
-      m.cast("double").as("m"), w.cast("double").as("w"),
-      n.cast("long").as("n"), sw.cast("double").as("sw"),
-      smw.cast("double").as("smw"))))
-
-  private def tierAgg(grouped: DataFrame, window: Long, features: Seq[Feature],
-      raw: Boolean): DataFrame = {
-    val names = graft.operators.SeriesFeatures.outputNames(features)
-    val p = col("pts")
-    val withPoint = (if (raw) {
-      val eval = udf(evalBucketRaw(features) _)
-      grouped.withColumn("pt", eval(p.getField("t"), p.getField("m"), p.getField("w")))
-    } else {
-      val eval = udf(evalBucket(features) _)
-      grouped.withColumn("pt", eval(
-        p.getField("t"), p.getField("m"), p.getField("w"),
-        p.getField("n"), p.getField("sw"), p.getField("smw")))
-    }).drop("pts")
-    val base = withPoint.select(
-      (Seq(
-        col("conv_id"), col("bucket"),
-        ((col("bucket") + 0.5) * window.toDouble).as("bucket_t"),
-        col("pt.n").as("n"), col("pt.sumW").as("sum_w"),
-        col("pt.sumMw").as("sum_mw"), col("pt.binM").as("bin_m"),
-        col("pt.binW").as("bin_w")) ++
-        names.zipWithIndex.map { case (nm, i) => col("pt.feats").getItem(i).as(nm) }): _*)
-    base
-  }
-
   /** Finest tier straight from the turn series
     * (columns conv_id, turn_idx, t, m, w — see [[Transcripts.series]]).
     *
@@ -129,8 +93,9 @@ object Rollup {
     * typed aggregate (primitive-array buffers, kernels run in the
     * aggregate's finish): one ObjectHashAggregate shuffle, no
     * struct-array materialization and no UDF boundary on the engine's
-    * dominant path. Bit-parity with the collect_list/UDF form (kept
-    * as [[tierFromTurnsCollect]]) is asserted in RollupParitySpec. */
+    * dominant path. Bit-parity with the declarative collect_list/UDF
+    * form (kept as a measurement baseline in [[RollupBaselines]]) is
+    * asserted in RollupParitySpec. */
   def tierFromTurns(series: DataFrame, window: Long,
       features: Seq[Feature] = defaultFeatures): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
@@ -152,22 +117,6 @@ object Rollup {
           col("pt.sumMw").as("sum_mw"), col("pt.binM").as("bin_m"),
           col("pt.binW").as("bin_w")) ++
           names.zipWithIndex.map { case (nm, i) => col("pt.feats").getItem(i).as(nm) }): _*)
-  }
-
-  /** The declarative collect_list/UDF form of [[tierFromTurns]] —
-    * retained as the parity oracle for the native aggregate. */
-  def tierFromTurnsCollect(series: DataFrame, window: Long,
-      features: Seq[Feature] = defaultFeatures): DataFrame = {
-    // 4-field struct only: the raw-turn collect is the engine's
-    // dominant shuffle; carries are derived at finish (evalBucketRaw)
-    val grouped = series
-      .groupBy(col("conv_id"), floor(col("t") / window.toDouble).cast("long").as("bucket"))
-      .agg(sort_array(collect_list(struct(
-        col("t").cast("double").as("t"),
-        col("turn_idx").cast("long").as("i"),
-        col("m").cast("double").as("m"),
-        col("w").cast("double").as("w")))).as("pts"))
-    tierAgg(grouped, window, features, raw = true)
   }
 
   /**
@@ -241,17 +190,6 @@ object Rollup {
           col("pt.sumMw").as("sum_mw"), col("pt.binM").as("bin_m"),
           col("pt.binW").as("bin_w")) ++
           names.zipWithIndex.map { case (nm, i) => col("pt.feats").getItem(i).as(nm) }): _*)
-  }
-
-  /** The declarative collect_list/UDF form of [[tierFromTier]] —
-    * retained as the parity oracle for the native carry aggregate. */
-  def tierFromTierCollect(finer: DataFrame, window: Long,
-      features: Seq[Feature] = defaultFeatures): DataFrame = {
-    val grouped = finer
-      .groupBy(col("conv_id"), floor(col("bucket_t") / window.toDouble).cast("long").as("bucket"))
-      .agg(collectPoints(col("bucket_t"), col("bucket"), col("bin_m"), col("bin_w"),
-        col("n"), col("sum_w"), col("sum_mw")).as("pts"))
-    tierAgg(grouped, window, features, raw = false)
   }
 
   /** Build all three retention tiers from the turn series. */

@@ -497,9 +497,11 @@ object PipelineQueries {
        | pl AS (SELECT GREATEST(2, LEAST(24,
        |          CAST(ceil(ln(GREATEST(1.0, count(*) / 64.0)) / ln(2)) AS INT))) AS planes
        |        FROM e),
+       | -- dims derived from the data (the Spark side iterates
+       | -- vec.length), never hardcoded
        | tpd AS (SELECT tb, unnest(range(0, planes)) AS p, d
        |         FROM pl, (SELECT unnest(range(0, 4)) AS tb),
-       |              (SELECT unnest(range(0, 64)) AS d)),
+       |              (SELECT unnest(range(0, (SELECT max(len(v)) FROM e))) AS d)),
        | comp AS (SELECT tb, p, d,
        |           CASE WHEN ${bit64("ch", "0")} = 0 THEN 1.0 ELSE -1.0 END AS c
        |          FROM $comps),

@@ -249,9 +249,13 @@ object SpectralQueries {
     // +inf for log10(0) -> mag of a zero-amplitude fit, and signed
     // inf / NaN for B/0 — guard explicitly instead of erroring.
     val zp = lit(FitTransformer.DefaultMagZp)
+    // IEEE semantics of the JVM form (zp - 2.5*log10(2a)): a > 0 finite,
+    // a == 0 -> +Inf (log10(0) = -Inf), a < 0 -> NaN — keep the two
+    // implementations of this transformer in exact agreement
     def magAmp(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(a > 0.0, zp - lit(2.5) * log10(lit(2.0) * a))
-        .otherwise(lit(Double.PositiveInfinity))
+        .when(a === 0.0, lit(Double.PositiveInfinity))
+        .otherwise(lit(Double.NaN))
     def ratio(b: org.apache.spark.sql.Column,
         a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(a =!= 0.0, b / a)

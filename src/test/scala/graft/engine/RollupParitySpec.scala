@@ -78,11 +78,11 @@ class RollupParitySpec extends AnyFunSuite {
     val turns = Transcripts.synthetic(spark, nConvs = 40, meanTurns = 45, seed = 23L)
     val series = Transcripts.series(turns.toDF)
     val native = sparkTierText(Rollup.tierFromTurns(series, 60L, features))
-    val collect = sparkTierText(Rollup.tierFromTurnsCollect(series, 60L, features))
+    val collect = sparkTierText(RollupBaselines.tierFromTurnsCollect(series, 60L, features))
     assert(native == collect)
     val t1m = Rollup.tierFromTurns(series, 60L, features)
     val nativeCascade = sparkTierText(Rollup.tierFromTier(t1m, 3600L, features))
-    val collectCascade = sparkTierText(Rollup.tierFromTierCollect(t1m, 3600L, features))
+    val collectCascade = sparkTierText(RollupBaselines.tierFromTierCollect(t1m, 3600L, features))
     assert(nativeCascade == collectCascade)
   }
 
