@@ -290,12 +290,13 @@ object SpectralQueries {
   /** Combined multi-band periodogram per series (bands = event_type):
     * per-band sorted collection, then one union-grid evaluation per
     * series — two-level aggregation, both shuffles on bounded keys. */
-  private def qMcPeriodogram(s: SparkSession, dir: String): DataFrame = {
+  private def mcPeriodogram(s: SparkSession, dir: String,
+      params: graft.ref.Periodogram.GridParams, jitter: Double): DataFrame = {
     val evalU = udf((bands: Seq[String], ts: Seq[Seq[Double]], ms: Seq[Seq[Double]],
         ws: Seq[Seq[Double]]) => {
       val lcs = bands.indices.map(i => bands(i) ->
         graft.ref.LightCurve(ts(i).toArray, ms(i).toArray, ws(i).toArray))
-      graft.ref.MultiColorPeriodogram.eval(lcs.toSeq, peaks = 2)
+      graft.ref.MultiColorPeriodogram.eval(lcs.toSeq, peaks = 2, params = params)
     })
     val perBand = s.read.parquet(s"$dir/events.parquet").select(
         col("user_id"),
@@ -316,12 +317,106 @@ object SpectralQueries {
           transform(col("bp"), x => x.getField("p").getField("m")),
           transform(col("bp"), x => x.getField("p").getField("w"))).as("f"))
       .select(col("user_id"), col("n_bands"),
-        round(col("f").getItem(0), 6).as("mc_period_0"),
-        round(col("f").getItem(1), 6).as("mc_peak_snr_0"),
-        round(col("f").getItem(2), 6).as("mc_period_1"),
-        round(col("f").getItem(3), 6).as("mc_peak_snr_1"))
+        round(col("f").getItem(0) + jitter, 6).as("mc_period_0"),
+        round(col("f").getItem(1) + jitter, 6).as("mc_peak_snr_0"),
+        round(col("f").getItem(2) + jitter, 6).as("mc_period_1"),
+        round(col("f").getItem(3) + jitter, 6).as("mc_peak_snr_1"))
       .orderBy(col("user_id"))
   }
+
+  private def qMcPeriodogram(s: SparkSession, dir: String): DataFrame =
+    mcPeriodogram(s, dir, graft.ref.Periodogram.GridParams(), jitter = 0.0)
+
+  /** MC periodogram on the coarse mirrorable grid — the FULL value
+    * oracle for the multi-band combined-power kernel (the dense
+    * default grid stays rows-only): count-weighted per-band powers on
+    * the union-time grid, summed, peaks from the combined spectrum. */
+  private def qMcPeriodogramDirect(s: SparkSession, dir: String): DataFrame =
+    mcPeriodogram(s, dir,
+      graft.ref.Periodogram.GridParams(resolution = 2.0, maxFreqFactor = 0.5),
+      jitter = 1.2345e-9)
+
+  /** multi_color_periodogram.rs:508-562 relationally: qualifying bands
+    * (n >= 4), union-time grid derivation, per-(band, freq) tau +
+    * power with the band's own mean/variance/count, count-weighted
+    * combination, then the shared peak pipeline. */
+  private def sqlMcPeriodogramDirect: String =
+    s"""WITH p0 AS (SELECT user_id, event_type AS band, epoch(ts) - $TBase AS t,
+       |             value AS m
+       |            FROM events),
+       | bs AS (SELECT user_id, band, count(*) AS nb, avg(m) AS mu, var_samp(m) AS s2
+       |        FROM p0 GROUP BY 1, 2 HAVING count(*) >= 4),
+       | p AS (SELECT p0.* FROM p0 JOIN bs USING (user_id, band)),
+       | gate AS (SELECT user_id, count(*) AS n_bands, sum(nb) AS norm
+       |          FROM bs GROUP BY 1),
+       | u AS (SELECT user_id, count(*) AS n, min(t) AS t0, max(t) AS t1
+       |       FROM p GROUP BY 1),
+       | grid AS (SELECT user_id,
+       |           4.0 * pi() / (t1 - t0) AS minf,
+       |           2.0 * pi() * (n - 1.0) / (n * 2.0 * (t1 - t0)) AS step,
+       |           pi() * (n - 1) / (t1 - t0) * 0.5 AS maxf
+       |          FROM u),
+       | gsize AS (SELECT *, CASE WHEN (maxf - minf) / step >= 1.0
+       |            THEN CAST(floor((maxf - minf) / step + 0.5) AS BIGINT)
+       |            ELSE 1 END AS sz
+       |           FROM grid),
+       | freqs AS (SELECT user_id, minf + step * k AS w0, k
+       |           FROM (SELECT *, unnest(range(0, sz)) AS k FROM gsize)),
+       | tau AS (SELECT f.user_id, p.band, f.k,
+       |          sum(sin(2.0 * f.w0 * p.t)) AS ss, sum(cos(2.0 * f.w0 * p.t)) AS sc
+       |         FROM freqs f JOIN p ON p.user_id = f.user_id
+       |         GROUP BY 1, 2, 3),
+       | tau2 AS (SELECT user_id, band, k,
+       |           sign(ss) * sqrt(0.5 * (1.0 - sc / sqrt(ss*ss + sc*sc))) AS sint,
+       |           sqrt(0.5 * (1.0 + sc / sqrt(ss*ss + sc*sc))) AS cost
+       |          FROM tau),
+       | bpw AS (SELECT f.user_id, p.band, f.k, f.w0,
+       |          sum((p.m - b.mu) * (sin(f.w0*p.t)*t2.cost - cos(f.w0*p.t)*t2.sint)) AS msin,
+       |          sum((p.m - b.mu) * (cos(f.w0*p.t)*t2.cost + sin(f.w0*p.t)*t2.sint)) AS mcos,
+       |          sum(pow(sin(f.w0*p.t)*t2.cost - cos(f.w0*p.t)*t2.sint, 2)) AS ssin2
+       |         FROM freqs f
+       |         JOIN p ON p.user_id = f.user_id
+       |         JOIN bs b ON b.user_id = p.user_id AND b.band = p.band
+       |         JOIN tau2 t2 ON t2.user_id = f.user_id AND t2.band = p.band
+       |           AND t2.k = f.k
+       |         GROUP BY 1, 2, 3, 4),
+       | bpower AS (SELECT w.user_id, w.band, w.k, w.w0,
+       |             CASE WHEN (msin = 0.0 AND ssin2 = 0.0)
+       |                    OR (mcos = 0.0 AND (b.nb - ssin2) = 0.0) OR b.s2 = 0.0 THEN 0.0
+       |              ELSE 0.5 * (msin*msin/ssin2 + mcos*mcos/(b.nb - ssin2)) / b.s2
+       |             END AS pw,
+       |             b.nb
+       |            FROM bpw w JOIN bs b ON b.user_id = w.user_id AND b.band = w.band),
+       | power AS (SELECT bp.user_id, bp.k, bp.w0,
+       |            sum(bp.nb / g.norm * bp.pw) AS pw
+       |           FROM bpower bp JOIN gate g ON g.user_id = bp.user_id
+       |           GROUP BY 1, 2, 3),
+       | stats AS (SELECT user_id, avg(pw) AS pmean,
+       |            CASE WHEN count(*) >= 2 THEN stddev_samp(pw) ELSE 0.0 END AS pstd
+       |           FROM power GROUP BY 1),
+       | nbr AS (SELECT user_id, k, pw, w0,
+       |          lag(pw) OVER w AS pl, lead(pw) OVER w AS pn
+       |         FROM power WINDOW w AS (PARTITION BY user_id ORDER BY k)),
+       | cand AS (SELECT user_id, k, pw, w0,
+       |           row_number() OVER (PARTITION BY user_id
+       |             ORDER BY pw DESC, k) AS rk
+       |          FROM nbr
+       |          WHERE pl IS NOT NULL AND pn IS NOT NULL AND pw > pl AND pn <= pw),
+       | top AS (SELECT c.user_id, c.rk, 2.0 * pi() / c.w0 AS period,
+       |          (c.pw - s.pmean) / s.pstd AS snr
+       |         FROM cand c JOIN stats s ON s.user_id = c.user_id
+       |         WHERE c.rk <= 2)
+       |SELECT g.user_id, CAST(g.n_bands AS INT) AS n_bands,
+       | round(coalesce(max(CASE WHEN rk = 1 THEN period END), 0.0) + 1.2345e-9, 6) + 0
+       |   AS mc_period_0,
+       | round(coalesce(max(CASE WHEN rk = 1 THEN snr END), 0.0) + 1.2345e-9, 6) + 0
+       |   AS mc_peak_snr_0,
+       | round(coalesce(max(CASE WHEN rk = 2 THEN period END), 0.0) + 1.2345e-9, 6) + 0
+       |   AS mc_period_1,
+       | round(coalesce(max(CASE WHEN rk = 2 THEN snr END), 0.0) + 1.2345e-9, 6) + 0
+       |   AS mc_peak_snr_1
+       |FROM gate g LEFT JOIN top ON top.user_id = g.user_id
+       |GROUP BY g.user_id, g.n_bands ORDER BY g.user_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_periodogram" -> qPeriodogram _,
@@ -329,10 +424,12 @@ object SpectralQueries {
     "q_periodogram_fixed_grid" -> qPeriodogramFixedGrid _,
     "q_transformed_features" -> qTransformedFeatures _,
     "q_curve_fits" -> qCurveFits _,
-    "q_mc_periodogram" -> qMcPeriodogram _)
+    "q_mc_periodogram" -> qMcPeriodogram _,
+    "q_mc_periodogram_direct" -> qMcPeriodogramDirect _)
 
   val oracles: Map[String, String] = Map(
     "q_periodogram_direct" -> sqlPeriodogramDirect,
+    "q_mc_periodogram_direct" -> sqlMcPeriodogramDirect,
     "q_periodogram_fixed_grid" -> sqlPeriodogramFixedGrid,
     "q_transformed_features" -> sqlTransformedFeatures)
 }
