@@ -415,14 +415,171 @@ object EventQueries {
        |FROM f ORDER BY user_id""".stripMargin
   }
 
-  /** Kernels whose oracle would need special functions DuckDB lacks
-    * (ln_erfc, regularized incomplete gamma); validated against the
-    * reference port + scipy goldens in `sbt test`, driver gets a
-    * rows-only check. */
+  /** Anderson-Darling normality + chi^2 p-value — the special-function
+    * kernels (ln_erfc, regularized incomplete gamma). Full value
+    * oracle: [[sqlSpecial]] replays the commons-math3 stack in DuckDB
+    * recursive CTEs. */
   private def qSpecial(s: SparkSession, dir: String): DataFrame =
     extracted(s, dir,
       Seq(Features.AndersonDarlingNormal, Features.Chi2Pvar),
       Seq("anderson_darling_normal", "chi2_pvar"))
+
+  /** Full value oracle for the special-function pair. DuckDB has no
+    * erfc / incomplete gamma, so the commons-math3 3.6.1 stack behind
+    * both kernels — `Erf.erfc(x) = regularizedGammaQ(0.5, x², 1e-15)`,
+    * `Gamma.regularizedGammaP` lower series and the Lentz continued
+    * fraction of `regularizedGammaQ` (small = 1e-50) — is replayed
+    * iteration-for-iteration in recursive CTEs with the same epsilon
+    * termination, giving ≤1-ulp agreement per call (series branch
+    * verified bit-exact; DuckDB `lgamma` matches commons `logGamma`
+    * to ≤1 ulp on the half-integers used here). `LnErfc`'s three
+    * branches (reference lnerfc.rs:9-17) are mirrored with the same
+    * polynomial literals: small-|x| Horner series, x>8 asymptotic
+    * rational, ln(erfc) otherwise. All statistics folds (mean,
+    * two-pass std, weighted mean, chi²) and the AD sum run in the
+    * JVM's loop order via ordered-list pure folds. */
+  private val sqlSpecial: String = {
+    def fold(l: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (a, x) -> a + x)"
+    def horner(cs: Seq[String], x: String): String =
+      cs.foldLeft("0.0")((acc, c) => s"($acc * $x + $c)")
+    // LnErfc.C / P / Q literals, exactly as in graft.ref.LnErfc
+    val cC = Seq(
+      "0.00048204", "-0.00142906", "0.0013200243174", "0.0009461589032",
+      "-0.0045563339802", "0.00556964649138", "0.00125993961762116",
+      "-0.01621575378835404", "0.02629651521057465",
+      "-0.001829764677455021", "(2.0 * (1.0 - pi() / 3.0))",
+      "((4.0 - pi()) / 3.0)", "1.0", "1.0", "0.0")
+    val cP = Seq(
+      "0.5641895835477550741253201704", "1.275366644729965952479585264",
+      "5.019049726784267463450058", "6.1602098531096305440906",
+      "7.409740605964741794425", "2.97886562639399288862")
+    val cQ = Seq(
+      "1.0", "2.260528520767326969591866945",
+      "9.396034016235054150430579648", "12.0489519278551290360340491",
+      "17.08144074746600431571095", "9.608965327192787870698",
+      "3.3690752069827527677")
+    val smallCut = "2.4607833005759251e-02" // 10 * DBL_EPSILON^(1/6)
+    val sqrtPi = "1.77245385090551602729816748334"
+    // Erf.erfc(v) from the shared q = regularizedGammaQ(0.5, v*v)
+    def erfcv(v: String, q: String) =
+      s"(CASE WHEN $v < -40.0 THEN 2.0 WHEN $v > 40.0 THEN 0.0 " +
+        s"WHEN $v < 0.0 THEN 2.0 - $q WHEN $v = 0.0 THEN 1.0 ELSE $q END)"
+    def lnErfc(v: String, q: String) =
+      s"(CASE WHEN $v * $v < $smallCut " +
+        s"THEN -2.0 * ${horner(cC, s"($v / $sqrtPi)")} " +
+        s"WHEN $v > 8.0 " +
+        s"THEN ln(${horner(cP, v)} / ${horner(cQ, v)}) - $v * $v " +
+        s"ELSE ln(${erfcv(v, q)}) END)"
+    val wprod = "list_transform(range(1, CAST(n AS BIGINT) + 1), " +
+      "k -> warr[k] * marr[k])"
+    val chiTerms = "list_transform(range(1, CAST(n AS BIGINT) + 1), " +
+      "k -> (marr[k] - wm) * (marr[k] - wm) * warr[k])"
+    s"""WITH RECURSIVE p AS ($PTS),
+       | g AS (SELECT user_id, count(*) AS n,
+       |        list(m ORDER BY t, idx) AS marr,
+       |        list(w ORDER BY t, idx) AS warr
+       |       FROM p GROUP BY 1
+       |       HAVING count(*) >= 2 AND min(m) < max(m)),
+       | g1 AS (SELECT *, ${fold("marr")} / n AS mu FROM g),
+       | g2 AS (SELECT *, list_sort(marr) AS sarr,
+       |         sqrt(${fold("list_transform(marr, x -> (x - mu) * (x - mu))")}
+       |              / (n - 1.0)) AS sd,
+       |         ${fold("warr")} AS sw, ${fold(wprod)} AS swm
+       |        FROM g1),
+       | g3 AS (SELECT *, swm / sw AS wm FROM g2),
+       | g4 AS (SELECT *, ${fold(chiTerms)} AS chi2 FROM g3),
+       | el AS (SELECT user_id, n,
+       |         (sarr[i + 1] - mu) / sd * (1.0 / sqrt(2.0)) AS x, i
+       |        FROM (SELECT user_id, n, mu, sd, sarr,
+       |               unnest(range(0, CAST(n AS BIGINT))) AS i FROM g4)),
+       | qin AS (SELECT row_number() OVER () AS rid, * FROM (
+       |    SELECT 'el' AS kind, user_id, i, CAST(0.5 AS DOUBLE) AS a,
+       |           x * x AS y
+       |    FROM el WHERE x * x >= $smallCut AND abs(x) <= 40.0
+       |    UNION ALL
+       |    SELECT 'chi', user_id, CAST(-1 AS BIGINT),
+       |           (n - 1) / 2.0, chi2 / 2.0
+       |    FROM g4)),
+       | ser AS (
+       |  SELECT rid, a, y, CAST(0 AS DOUBLE) AS it,
+       |         1.0 / a AS an, 1.0 / a AS s, FALSE AS done
+       |  FROM qin WHERE y > 0 AND y < a + 1.0
+       |  UNION ALL
+       |  SELECT rid, a, y,
+       |    CASE WHEN stop THEN it ELSE it + 1.0 END,
+       |    CASE WHEN stop THEN an ELSE an * (y / (a + (it + 1.0))) END,
+       |    CASE WHEN stop THEN s ELSE s + an * (y / (a + (it + 1.0))) END,
+       |    stop
+       |  FROM (SELECT *, (abs(an / s) <= 1e-15) AS stop FROM ser)
+       |  WHERE NOT done AND it < 5000),
+       | serq AS (
+       |  SELECT rid, 1.0 - exp(-y + a * ln(y) - lgamma(a)) * s AS q
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY rid
+       |                    ORDER BY it DESC) AS rk FROM ser)
+       |  WHERE rk = 1),
+       | cf AS (
+       |  SELECT rid, a, y, CAST(1 AS DOUBLE) AS it, CAST(0 AS DOUBLE) AS dprev,
+       |         h0 AS cprev, h0 AS h, FALSE AS done
+       |  FROM (SELECT *, CASE WHEN abs(1.0 - a + y) <= 1e-50 THEN 1e-50
+       |                  ELSE 1.0 - a + y END AS h0
+       |        FROM qin WHERE y >= a + 1.0)
+       |  UNION ALL
+       |  SELECT rid, a, y,
+       |    CASE WHEN stop THEN it ELSE it + 1.0 END,
+       |    CASE WHEN stop THEN dprev ELSE dn END,
+       |    CASE WHEN stop THEN cprev ELSE cn END,
+       |    hn, stop
+       |  FROM (
+       |    SELECT *, h * (cn * dn) AS hn,
+       |           (abs(cn * dn - 1.0) < 1e-15) AS stop
+       |    FROM (
+       |      SELECT *,
+       |        1.0 / (CASE WHEN abs(aa + bb * dprev) <= 1e-50 THEN 1e-50
+       |               ELSE aa + bb * dprev END) AS dn,
+       |        CASE WHEN abs(aa + bb / cprev) <= 1e-50 THEN 1e-50
+       |             ELSE aa + bb / cprev END AS cn
+       |      FROM (SELECT *, ((2.0 * it) + 1.0) - a + y AS aa,
+       |                   it * (a - it) AS bb FROM cf)))
+       |  WHERE NOT done AND it < 5000),
+       | cfq AS (
+       |  SELECT rid, exp(-y + a * ln(y) - lgamma(a)) * (1.0 / h) AS q
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY rid
+       |                    ORDER BY it DESC) AS rk FROM cf)
+       |  WHERE rk = 1),
+       | qout AS (SELECT rid,
+       |           CASE WHEN qin.y = 0 THEN 1.0
+       |                ELSE coalesce(s.q, c.q) END AS qv
+       |          FROM qin LEFT JOIN serq s USING (rid)
+       |                   LEFT JOIN cfq c USING (rid)),
+       | elq AS (SELECT e.*, q2.qv
+       |         FROM el e LEFT JOIN
+       |           (SELECT qi.user_id, qi.i, qo.qv
+       |            FROM qin qi JOIN qout qo USING (rid)
+       |            WHERE qi.kind = 'el') q2
+       |           ON q2.user_id = e.user_id AND q2.i = e.i),
+       | terms AS (SELECT user_id, i, n,
+       |            (2.0 * i + 1.0) * ${lnErfc("(-x)", "qv")}
+       |              + (2.0 * (n - i) - 1.0) * ${lnErfc("x", "qv")} AS term
+       |           FROM elq),
+       | asum AS (SELECT user_id, any_value(n) AS n,
+       |           ${fold("list(term ORDER BY i)")} AS ssum
+       |          FROM terms GROUP BY user_id),
+       | ad AS (SELECT user_id,
+       |         (1.0 + 4.0 / n - pow(5.0 / n, 2)) *
+       |         (n * (2.0 * ln(2.0) - 1.0) - ssum / n) AS adv
+       |        FROM asum),
+       | chi AS (SELECT qi.user_id,
+       |          least(1.0, greatest(0.0, qo.qv)) AS pv
+       |         FROM qin qi JOIN qout qo USING (rid) WHERE qi.kind = 'chi')
+       |SELECT g.user_id,
+       | round(CASE WHEN g.n >= 4 THEN a.adv
+       |        ELSE CAST('nan' AS DOUBLE) END + $JitterSql, 6) + 0
+       |   AS anderson_darling_normal,
+       | round(c.pv + $JitterSql, 6) + 0 AS chi2_pvar
+       |FROM g4 g LEFT JOIN ad a USING (user_id) LEFT JOIN chi c USING (user_id)
+       |ORDER BY g.user_id""".stripMargin
+  }
 
   /** Otsu split + Tukey biweight scale — sequential-scan kernels whose
     * exact fold IS expressible in DuckDB (struct-accumulator
@@ -719,5 +876,6 @@ object EventQueries {
     "q_tier_cascade_1h" -> sqlTierCascade1h,
     "q_gapfill_locf" -> sqlGapfillLocf,
     "q_bins_features" -> sqlBinsFeatures,
-    "q_otsu_biweight" -> sqlOtsuBiweight)
+    "q_otsu_biweight" -> sqlOtsuBiweight,
+    "q_special_kernels" -> sqlSpecial)
 }
