@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -87,6 +87,28 @@ case class VecDotExpression(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** splitmix64 finalizer over a LONG column — the deterministic
+  * per-row uniform hash behind the stratified sampler. ANSI mode
+  * forbids wrapping `*` on longs in plain Catalyst arithmetic, so the
+  * mix lives in a static call that stays inside whole-stage codegen.
+  * Bit-identical to [[graft.operators.Dedup.mix64]] (the DuckDB
+  * mirror is `DuckMacros.mix64`). */
+case class Mix64Expression(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"mix64 expects BIGINT, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.Dedup.mix64(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.Dedup$$.MODULE$$.mix64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Mix64Expression =
+    copy(child = newChild)
+  override def prettyName: String = "mix64"
+}
+
 object VecOps {
   /** Ascending-index dot product over Catalyst array data. */
   def dot(a: ArrayData, b: ArrayData): Double = {
@@ -106,6 +128,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.lnErfcFn)
     ext.injectFunction(GraftExtensions.r5PpfFn)
     ext.injectFunction(GraftExtensions.vecDotFn)
+    ext.injectFunction(GraftExtensions.mix64Fn)
   }
 }
 
@@ -129,6 +152,11 @@ object GraftExtensions {
       info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
       (args: Seq[Expression]) => VecDotExpression(args.head, args(1)))
 
+  private[plans] val mix64Fn =
+    (FunctionIdentifier("mix64"),
+      info("mix64", "mix64(z) - splitmix64 finalizer of a 64-bit value"),
+      (args: Seq[Expression]) => Mix64Expression(args.head))
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -139,5 +167,7 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Cast(args(1), DoubleType)), "scala_udf")
     registry.createOrReplaceTempFunction("vec_dot",
       args => VecDotExpression(args.head, args(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("mix64",
+      args => Mix64Expression(args.head), "scala_udf")
   }
 }

@@ -657,7 +657,128 @@ object PipelineQueries {
       | CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2 ELSE -1 END AS INT) AS channels
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------- eval-set decontamination ----------------
+
+  /** Word-trigram order for the containment check; 3 keeps the gram
+    * space discriminative on the short synthetic docs (a production
+    * run would use 8-13-gram windows — only this constant changes). */
+  private val DecontamN = 3
+
+  /** Held-out pseudo-eval set: every 29th doc_id. Deterministic, so
+    * both engines and the tests agree without external data. */
+  private val EvalMod = 29
+
+  /** Training-corpus decontamination against a held-out eval set —
+    * the step a real pretraining pipeline runs before training: flag
+    * any training document sharing an exact word n-gram with the
+    * benchmark/eval corpus (the n-gram containment rule used for
+    * open-benchmark leakage scrubbing).
+    *
+    * Scale shape: the eval side of a 100 TB run is benchmark-sized
+    * (MBs), so its DISTINCT gram set is collected into a broadcast
+    * hash join — the training side streams through one scan + one
+    * partial-aggregated groupBy(doc_id); no all-pairs work, no
+    * shuffle of the corpus by gram. */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir).select(col("doc_id"), col("lang"),
+      Dedup.wordShingles(col("text"), DecontamN).as("sh"))
+    val evalGrams = sh.filter(col("doc_id") % EvalMod === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    val train = sh.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"), col("lang"), size(col("sh")).as("n_grams"), col("sh"))
+    val hits = train.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    train.drop("sh").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("n_hit"),
+        r(when(col("n_grams") > 0,
+            coalesce(col("hits"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0))).as("contamination"),
+        (coalesce(col("hits"), lit(0L)) > 0).cast("int").as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sqlDecontaminate =
+    s"""WITH g AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
+       |           FROM documents),
+       | sh AS (SELECT doc_id, lang,
+       |         list_distinct(CASE WHEN len(toks) >= $DecontamN
+       |           THEN list_transform(generate_series(1, len(toks) - ${DecontamN - 1}),
+       |                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+       |           ELSE [] END) AS sh
+       |        FROM g),
+       | ev AS (SELECT DISTINCT unnest(sh) AS gram FROM sh
+       |        WHERE doc_id % $EvalMod = 0),
+       | tr AS (SELECT doc_id, lang, len(sh) AS n_grams, sh FROM sh
+       |        WHERE doc_id % $EvalMod <> 0),
+       | hits AS (SELECT t.doc_id, count(*) AS n_hit
+       |          FROM (SELECT doc_id, unnest(sh) AS gram FROM tr) t
+       |          JOIN ev USING (gram) GROUP BY 1)
+       |SELECT t.doc_id, t.lang, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+       | round(CASE WHEN t.n_grams > 0
+       |    THEN CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_grams
+       |    ELSE 0.0 END + $JitterSql, $R) + 0 AS contamination,
+       | CAST(coalesce(h.n_hit, 0) > 0 AS INT) AS is_contaminated
+       |FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  // ---------------- deterministic stratified sampling ----------------
+
+  /** Per-stratum row target for the balanced downsample — small
+    * enough that the dominant strata of the test corpus are actually
+    * downsampled (en is ~45% of docs). */
+  private val SampleTarget = 60
+
+  /** Balanced stratified downsampling with a DETERMINISTIC per-row
+    * bernoulli draw — the corpus-mixing step of a training-data
+    * pipeline (cap each (lang, source) stratum at ~[[SampleTarget]]
+    * docs). The draw is `mix64(doc_id) >>> 11` scaled to [0, 1) — a
+    * pure function of the row key, so the sample is reproducible
+    * across runs/engines and stable under re-partitioning, unlike
+    * `rand(seed)` whose stream is partition-order-dependent.
+    *
+    * Scale shape: stratum counts are a tiny partial-aggregated
+    * groupBy broadcast back onto one corpus scan; the filter is
+    * row-local (codegen'd [[graft.plans.Mix64Expression]]), so the
+    * only corpus-wide shuffle is... none. */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val d = docs(s, dir)
+    val strata = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("rate",
+        least(lit(1.0), lit(SampleTarget.toDouble) / col("n_stratum")))
+    d.select(col("doc_id"), col("lang"), col("source"))
+      .join(broadcast(strata), Seq("lang"))
+      .withColumn("u",
+        shiftrightunsigned(expr("mix64(doc_id)"), 11).cast("double")
+          / 9007199254740992.0) // 2^53
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_stratum"),
+        r(col("rate")).as("rate"), r(col("u")).as("u"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sqlSampleStratified = {
+    val h = DuckMacros.mix64Stages("documents", "doc_id", "h",
+      Seq("doc_id", "lang", "source"))
+    s"""WITH st AS (SELECT lang, count(*) AS n_stratum,
+       |             least(1.0, ${SampleTarget.toDouble} / count(*)) AS rate
+       |            FROM documents GROUP BY 1),
+       | hx AS (SELECT doc_id, lang, source,
+       |         CAST(${DuckMacros.shr64("h", 11)} AS DOUBLE)
+       |           / 9007199254740992.0 AS u
+       |        FROM $h)
+       |SELECT hx.doc_id, hx.lang, hx.source, st.n_stratum,
+       | round(st.rate + $JitterSql, $R) + 0 AS rate,
+       | round(hx.u + $JitterSql, $R) + 0 AS u
+       |FROM hx JOIN st USING (lang)
+       |WHERE hx.u < st.rate ORDER BY hx.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_docs_decontaminate" -> qDecontaminate _,
+    "q_docs_sample_stratified" -> qSampleStratified _,
     "q_docs_text_stats" -> qTextStats _,
     "q_docs_exact_dedup" -> qExactDedup _,
     "q_docs_ngram_jaccard" -> qNgramJaccard _,
@@ -675,6 +796,8 @@ object PipelineQueries {
     "q_multimodal_sniff" -> qMultimodalSniff _)
 
   val oracles: Map[String, String] = Map(
+    "q_docs_decontaminate" -> sqlDecontaminate,
+    "q_docs_sample_stratified" -> sqlSampleStratified,
     "q_docs_text_stats" -> sqlTextStats,
     "q_docs_exact_dedup" -> sqlExactDedup,
     "q_docs_ngram_jaccard" -> sqlNgramJaccard,

@@ -282,6 +282,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeBytes(Array.fill[Byte](64)(7)).byte_entropy == 0.0)
   }
 
+  test("decontamination matches a local trigram-containment recompute") {
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.split(" ")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val evalGrams = rows.filter(_._1 % 29 == 0).values.flatMap(grams).toSet
+    val expected = rows.collect { case (id, t) if id % 29 != 0 =>
+      val g = grams(t)
+      id -> (g.size, g.count(evalGrams.contains))
+    }
+    val out = graft.SparkEntry.queries("q_docs_decontaminate")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3).toInt)).toMap
+    assert(out.keySet == expected.keySet) // eval docs excluded
+    expected.foreach { case (id, (ng, nh)) =>
+      assert(out(id) == ((ng, nh)), s"doc $id: got ${out(id)}, want ($ng, $nh)")
+    }
+    assert(expected.values.exists(_._2 > 0),
+      "fixture should contain at least one contaminated doc")
+  }
+
+  test("stratified sampler: deterministic splitmix draw honors per-stratum rate") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("q_docs_sample_stratified")
+    val a = q(spark, dir).collect()
+    val b = q(spark, dir).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq) // reproducible
+    // every kept row's draw is below its stratum rate, and the draw
+    // matches the JVM mix64 recompute bit-for-bit (pre-rounding the
+    // query rounds; recompute with the same rounding)
+    a.foreach { r =>
+      val id = r.getLong(0)
+      val u = r.getDouble(5)
+      val uRe = BigDecimal((Dedup.mix64(id) >>> 11).toDouble / 9007199254740992.0
+        + 1.2345e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(u == uRe, s"doc $id draw mismatch: $u vs $uRe")
+      assert(u <= r.getDouble(4) + 1e-6, s"doc $id kept above stratum rate")
+    }
+    // strata under the target keep everything
+    val kept = a.map(_.getLong(0)).toSet
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perLang = all.groupBy(_._2)
+    perLang.foreach { case (lang, docs) =>
+      if (docs.length <= 60)
+        docs.foreach { case (id, _) =>
+          assert(kept.contains(id), s"under-target stratum $lang dropped $id") }
+    }
+  }
+
   test("language ID mechanism: separable corpora classify correctly") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
