@@ -133,6 +133,51 @@ class PlanSpec extends AnyFunSuite {
       s"window funnel in exact dedup:\n$dedupPlan")
   }
 
+  test("decontamination broadcasts the eval gram set; corpus is never shuffled by gram") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = graft.SparkEntry.queries("q_docs_decontaminate")(s2, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"eval gram set not broadcast:\n$plan")
+    // the only gram-keyed shuffle allowed is the EVAL side's distinct
+    // (benchmark-sized at any corpus scale) — it carries just the gram
+    // column. A gram-keyed exchange carrying doc_id would be the whole
+    // corpus re-shuffled by shingle.
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      val keys = e.outputPartitioning match {
+        case h: HashPartitioning => h.expressions.flatMap(_.references.map(_.name))
+        case _ => Seq.empty
+      }
+      if (keys.contains("g"))
+        assert(!e.output.exists(_.name.contains("doc_id")),
+          s"corpus postings shuffled by gram:\n$plan")
+    }
+  }
+
+  test("stratified sampler: one tiny aggregate shuffle, corpus joins broadcast and filters row-local") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = graft.SparkEntry.queries("q_docs_sample_stratified")(s2, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"strata rates not broadcast:\n$plan")
+    val hashShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    // exactly the strata-count aggregate; the corpus itself moves only
+    // through the final presentation sort
+    assert(hashShuffles.size == 1,
+      s"expected 1 hash shuffle (strata agg), got ${hashShuffles.size}:\n$plan")
+  }
+
   test("catalyst collapses shared sub-aggregates into one physical aggregate") {
     import graft.functions.Kernels
     val series = Transcripts.series(spark.read.parquet(turnsPath))
