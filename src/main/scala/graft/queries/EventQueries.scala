@@ -581,6 +581,128 @@ object EventQueries {
        |ORDER BY g.user_id""".stripMargin
   }
 
+  /** The f32 flavor of the simple-kernel battery
+    * ([[graft.ref.FeaturesF32]]): the stored f64 columns are narrowed
+    * to f32 at the series boundary and every kernel accumulation runs
+    * in single precision, mirroring the reference's f32 instantiation
+    * of its sealed float trait (float_trait.rs:30-120). */
+  private def qSimpleStatsF32(s: SparkSession, dir: String): DataFrame = {
+    val names = Seq("amplitude_f32", "mean_f32", "median_f32", "std_f32",
+      "mean_variance_f32", "beyond_1_std_f32", "cusum_f32", "eta_f32",
+      "max_slope_f32", "skew_f32", "kurtosis_f32")
+    val evalU = udf((ts: Seq[Double], ms: Seq[Double]) =>
+      graft.ref.FeaturesF32.evalAll(
+        ts.iterator.map(_.toFloat).toArray, ms.iterator.map(_.toFloat).toArray))
+    val base = pts(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        SeriesFeatures.collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"),
+        count(lit(1)).as("n_obs"),
+        min(col("m")).as("mn"), max(col("m")).as("mx"))
+      .filter(col("n_obs") >= 2 && col("mn") < col("mx"))
+      .withColumn("f", evalU(col("p").getField("t"), col("p").getField("m")))
+    names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
+      d.withColumn(n, r(col("f").getItem(i)))
+    }.select((col("user_id") +: names.map(col)): _*).orderBy(col("user_id"))
+  }
+
+  /** Full value oracle for the f32 battery: every FeaturesF32 loop is
+    * replayed over `FLOAT`-typed DuckDB lists in the same order —
+    * DuckDB FLOAT arithmetic is true single precision and list folds
+    * preserve the type, so each accumulation matches the JVM
+    * bit-for-bit (sqrt is the shared narrowed-double convention;
+    * least/greatest promote to DOUBLE in DuckDB and are cast back,
+    * which is exact because they only select one of their f32
+    * arguments). FLOAT x/0 yields NULL here vs Infinity on the JVM —
+    * both sides drop the slope term (NULL via the finite filter,
+    * Infinity via isFinite), same outcome. */
+  private val sqlSimpleStatsF32: String = {
+    def fl(x: String) = s"CAST($x AS FLOAT)"
+    def fsum(l: String) =
+      s"list_reduce(list_prepend(${fl("0.0")}, $l), (a, x) -> a + x)"
+    s"""WITH RECURSIVE p AS ($PTS),
+       | g AS (SELECT user_id, count(*) AS n,
+       |        list(CAST(m AS FLOAT) ORDER BY t, idx) AS mf,
+       |        list(CAST(t AS FLOAT) ORDER BY t, idx) AS tf,
+       |        max(CAST(m AS FLOAT)) AS mxf, min(CAST(m AS FLOAT)) AS mnf
+       |       FROM p GROUP BY 1
+       |       HAVING count(*) >= 2 AND min(m) < max(m)),
+       | g0 AS (SELECT *, CAST(n AS FLOAT) AS nf FROM g),
+       | g1 AS (SELECT *, ${fsum("mf")} / nf AS mu FROM g0),
+       | g2 AS (SELECT *,
+       |         ${fsum("list_transform(mf, x -> (x - mu) * (x - mu))")}
+       |           / CAST(n - 1 AS FLOAT) AS s2,
+       |         list_sort(mf) AS sf
+       |        FROM g1),
+       | g3 AS (SELECT *, CAST(sqrt(CAST(s2 AS DOUBLE)) AS FLOAT) AS sd FROM g2),
+       | g4 AS (SELECT *,
+       |         ${fl("0.5")} * (mxf - mnf) AS v_amp,
+       |         CASE WHEN n % 2 = 0
+       |          THEN ${fl("0.5")} * (sf[CAST((n - 1) // 2 AS INT) + 1]
+       |                               + sf[CAST((n - 1) // 2 AS INT) + 2])
+       |          ELSE sf[CAST((n - 1) // 2 AS INT) + 1] END AS v_med,
+       |         CAST(list_aggregate(list_transform(mf,
+       |             x -> CASE WHEN abs(x - mu) > sd THEN 1 ELSE 0 END),
+       |           'sum') AS FLOAT) / nf AS v_beyond,
+       |         ${fsum("list_transform(range(2, CAST(n AS BIGINT) + 1), " +
+                 "k -> (mf[k] - mf[k - 1]) * (mf[k] - mf[k - 1]))")} AS etasum,
+       |         list_filter(list_transform(range(2, CAST(n AS BIGINT) + 1),
+       |             k -> abs((mf[k] - mf[k - 1]) / (tf[k] - tf[k - 1]))),
+       |           v -> isfinite(v)) AS slopes,
+       |         ${fsum("list_transform(mf, x -> (x - mu) * (x - mu) * (x - mu))")} AS m3,
+       |         ${fsum("list_transform(mf, x -> (x - mu) * (x - mu) * (x - mu) * (x - mu))")} AS m4
+       |        FROM g3),
+       | dme AS (SELECT user_id, unnest(list_transform(mf, x -> x - mu)) AS d,
+       |          unnest(range(1, CAST(n AS BIGINT) + 1)) AS k
+       |         FROM g3),
+       | cusr AS (
+       |  SELECT user_id, CAST(1 AS BIGINT) AS k, d AS s, d AS mn, d AS mx
+       |  FROM dme WHERE k = 1
+       |  UNION ALL
+       |  SELECT c.user_id, c.k + 1, c.s + e.d,
+       |    CAST(least(c.mn, c.s + e.d) AS FLOAT),
+       |    CAST(greatest(c.mx, c.s + e.d) AS FLOAT)
+       |  FROM cusr c JOIN dme e ON e.user_id = c.user_id AND e.k = c.k + 1),
+       | cus AS (SELECT user_id, mn, mx FROM
+       |   (SELECT *, row_number() OVER (PARTITION BY user_id
+       |                ORDER BY k DESC) AS rk FROM cusr)
+       |   WHERE rk = 1),
+       | fin AS (SELECT user_id,
+       |          v_amp, mu, v_med, sd,
+       |          sd / mu AS v_mv,
+       |          v_beyond,
+       |          (cus.mx - cus.mn) / (sd * nf) AS v_cusum,
+       |          etasum / CAST(n - 1 AS FLOAT) / s2 AS v_eta,
+       |          CASE WHEN len(slopes) > 0
+       |            THEN CAST(list_aggregate(slopes, 'max') AS FLOAT)
+       |            ELSE ${fl("'nan'")} END AS v_slope,
+       |          CASE WHEN n >= 3
+       |            THEN m3 / (sd * sd * sd) * nf
+       |                   / ((nf - ${fl("1.0")}) * (nf - ${fl("2.0")}))
+       |            ELSE ${fl("'nan'")} END AS v_skew,
+       |          CASE WHEN n >= 4
+       |            THEN m4 / (s2 * s2) * nf * (nf + ${fl("1.0")})
+       |                   / ((nf - ${fl("1.0")}) * (nf - ${fl("2.0")})
+       |                      * (nf - ${fl("3.0")}))
+       |                 - ${fl("3.0")} * (nf - ${fl("1.0")}) * (nf - ${fl("1.0")})
+       |                   / ((nf - ${fl("2.0")}) * (nf - ${fl("3.0")}))
+       |            ELSE ${fl("'nan'")} END AS v_kurt
+       |         FROM g4 JOIN cus USING (user_id))
+       |SELECT user_id,
+       | round(v_amp + $JitterSql, $R) + 0 AS amplitude_f32,
+       | round(mu + $JitterSql, $R) + 0 AS mean_f32,
+       | round(v_med + $JitterSql, $R) + 0 AS median_f32,
+       | round(sd + $JitterSql, $R) + 0 AS std_f32,
+       | round(v_mv + $JitterSql, $R) + 0 AS mean_variance_f32,
+       | round(v_beyond + $JitterSql, $R) + 0 AS beyond_1_std_f32,
+       | round(v_cusum + $JitterSql, $R) + 0 AS cusum_f32,
+       | round(v_eta + $JitterSql, $R) + 0 AS eta_f32,
+       | round(v_slope + $JitterSql, $R) + 0 AS max_slope_f32,
+       | round(v_skew + $JitterSql, $R) + 0 AS skew_f32,
+       | round(v_kurt + $JitterSql, $R) + 0 AS kurtosis_f32
+       |FROM fin ORDER BY user_id""".stripMargin
+  }
+
   /** Otsu split + Tukey biweight scale — sequential-scan kernels whose
     * exact fold IS expressible in DuckDB (struct-accumulator
     * list_reduce), so they carry a full value oracle. */
@@ -851,6 +973,7 @@ object EventQueries {
     "q_linear_fits" -> qLinearFits _,
     "q_stetson_roms" -> qStetsonRoms _,
     "q_special_kernels" -> qSpecial _,
+    "q_simple_stats_f32" -> qSimpleStatsF32 _,
     "q_otsu_biweight" -> qOtsuBiweight _,
     "q_tier_1m" -> qTier1m _,
     "q_tier_cascade_1h" -> qTierCascade1h _,
@@ -877,5 +1000,6 @@ object EventQueries {
     "q_gapfill_locf" -> sqlGapfillLocf,
     "q_bins_features" -> sqlBinsFeatures,
     "q_otsu_biweight" -> sqlOtsuBiweight,
-    "q_special_kernels" -> sqlSpecial)
+    "q_special_kernels" -> sqlSpecial,
+    "q_simple_stats_f32" -> sqlSimpleStatsF32)
 }

@@ -1,0 +1,151 @@
+package graft.ref
+
+/**
+ * Single-precision (f32) flavor of the simple statistical kernels.
+ *
+ * The reference is generic over a sealed float trait with exactly two
+ * instantiations, f32 and f64 (/root/reference/src/float_trait.rs:30-120);
+ * every kernel there runs its accumulations in the instantiated
+ * precision. The engine's primary path is the f64 flavor
+ * ([[Features]]); this object is the f32 surface for the kernels the
+ * reference benchmarks as "simple features", with every accumulation,
+ * comparison and division performed in `Float` so results carry f32
+ * rounding exactly as the reference's f32 instantiation does.
+ *
+ * Conventions (stated because f32 transcendentals are not uniquely
+ * defined across languages): `sqrt` is the correctly-rounded double
+ * sqrt narrowed to f32 (equal to a correctly-rounded f32 sqrt except
+ * on double-rounding boundary cases, and mirrored exactly by the
+ * oracle), and the integer power in skew is iterated f32 multiplies.
+ * The DuckDB oracle (EventQueries.sqlSimpleStatsF32) reproduces each
+ * loop in the same order over `FLOAT`-typed lists, so both engines
+ * agree bit-for-bit.
+ *
+ * Distributed evaluation casts the stored f64 columns to f32 at the
+ * series boundary (one IEEE round-to-nearest narrowing per value —
+ * `CAST(x AS FLOAT)` on both engines), then runs these kernels over
+ * the per-series arrays in sorted `(t, idx)` order.
+ */
+object FeaturesF32 {
+
+  /** In-order f32 sum, the reference's accumulation shape. */
+  def sum(a: Array[Float]): Float = {
+    var s = 0.0f; var i = 0
+    while (i < a.length) { s += a(i); i += 1 }
+    s
+  }
+
+  def mean(a: Array[Float]): Float = sum(a) / a.length
+
+  /** Two-pass sample variance, ddof=1, f32 accumulation. */
+  def std2(a: Array[Float], mu: Float): Float = {
+    var s = 0.0f; var i = 0
+    while (i < a.length) { val d = a(i) - mu; s += d * d; i += 1 }
+    s / (a.length - 1)
+  }
+
+  /** Correctly-rounded double sqrt narrowed to f32. */
+  @inline def sqrtF(x: Float): Float = math.sqrt(x.toDouble).toFloat
+
+  def amplitude(m: Array[Float]): Float = {
+    var mn = m(0); var mx = m(0); var i = 1
+    while (i < m.length) {
+      val x = m(i)
+      if (x > mx) mx = x else if (x < mn) mn = x
+      i += 1
+    }
+    0.5f * (mx - mn)
+  }
+
+  def standardDeviation(m: Array[Float]): Float = sqrtF(std2(m, mean(m)))
+
+  def meanVariance(m: Array[Float]): Float = standardDeviation(m) / mean(m)
+
+  def beyondNStd(m: Array[Float], nstd: Float): Float = {
+    val mu = mean(m)
+    val thr = standardDeviation(m) * nstd
+    var c = 0; var i = 0
+    while (i < m.length) { if (math.abs(m(i) - mu) > thr) c += 1; i += 1 }
+    c.toFloat / m.length
+  }
+
+  def cusum(m: Array[Float]): Float = {
+    val mu = mean(m)
+    var s = 0.0f
+    var mn = Float.PositiveInfinity; var mx = Float.NegativeInfinity
+    var i = 0
+    while (i < m.length) {
+      s += m(i) - mu
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      i += 1
+    }
+    (mx - mn) / (standardDeviation(m) * m.length)
+  }
+
+  def eta(m: Array[Float]): Float = {
+    var s = 0.0f; var i = 1
+    while (i < m.length) { val d = m(i) - m(i - 1); s += d * d; i += 1 }
+    s / (m.length - 1) / std2(m, mean(m))
+  }
+
+  /** max |dm/dt| over consecutive points, non-finite slopes dropped
+    * (f32 time deltas can underflow to zero on dense cadences — the
+    * same guard the f64 kernel carries). */
+  def maximumSlope(t: Array[Float], m: Array[Float]): Float = {
+    var best = Float.NegativeInfinity; var found = false; var i = 1
+    while (i < m.length) {
+      val v = math.abs((m(i) - m(i - 1)) / (t(i) - t(i - 1)))
+      if (java.lang.Float.isFinite(v)) { found = true; if (v > best) best = v }
+      i += 1
+    }
+    if (found) best else Float.NaN
+  }
+
+  def medianOfSorted(sorted: Array[Float]): Float = {
+    val len = sorted.length
+    val i = (len - 1) / 2
+    if (len % 2 == 0) 0.5f * (sorted(i) + sorted(i + 1)) else sorted(i)
+  }
+
+  def median(m: Array[Float]): Float = {
+    val s = m.clone(); java.util.Arrays.sort(s); medianOfSorted(s)
+  }
+
+  def skew(m: Array[Float]): Float = {
+    val mu = mean(m)
+    var m3 = 0.0f; var i = 0
+    while (i < m.length) { val d = m(i) - mu; m3 += d * d * d; i += 1 }
+    val n = m.length.toFloat
+    val sd = standardDeviation(m)
+    m3 / (sd * sd * sd) * n / ((n - 1.0f) * (n - 2.0f))
+  }
+
+  def kurtosis(m: Array[Float]): Float = {
+    val mu = mean(m)
+    var m4 = 0.0f; var i = 0
+    while (i < m.length) { val d = m(i) - mu; m4 += d * d * d * d; i += 1 }
+    val n = m.length.toFloat
+    val s2 = std2(m, mu)
+    m4 / (s2 * s2) * n * (n + 1.0f) / ((n - 1.0f) * (n - 2.0f) * (n - 3.0f)) -
+      3.0f * (n - 1.0f) * (n - 1.0f) / ((n - 2.0f) * (n - 3.0f))
+  }
+
+  /** The battery evaluated by q_simple_stats_f32, in output order. */
+  def evalAll(t: Array[Float], m: Array[Float]): Array[Float] = {
+    val n = m.length
+    def guarded(min: Int, v: => Float): Float = if (n >= min) v else Float.NaN
+    Array(
+      amplitude(m),
+      mean(m),
+      median(m),
+      guarded(2, standardDeviation(m)),
+      guarded(2, meanVariance(m)),
+      guarded(2, beyondNStd(m, 1.0f)),
+      guarded(2, cusum(m)),
+      guarded(2, eta(m)),
+      guarded(2, maximumSlope(t, m)),
+      guarded(3, skew(m)),
+      guarded(4, kurtosis(m)))
+  }
+}
