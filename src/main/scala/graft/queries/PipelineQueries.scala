@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
+import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextStats}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -776,7 +776,42 @@ object PipelineQueries {
        |WHERE hx.u < st.rate ORDER BY hx.doc_id""".stripMargin
   }
 
+  // ---------------- sequence packing ----------------
+
+  /** Tokens per packed training example. */
+  private val PackBudget = 512L
+
+  /** Concat-and-split sequence packing per language stream
+    * ([[graft.operators.Packing]]): deterministic doc_id order,
+    * hierarchical prefix sum (bounded chunk windows + a tiny chunk-
+    * totals roll-up), integer-exact. chunkSize is set well below the
+    * corpus size so the test data actually exercises the chunk merge
+    * (PlanSpec asserts no unbounded per-language window exists). */
+  private def qPack(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      TextStats.nTokens(col("text")).as("ntok"))
+    Packing.pack(d, col("doc_id"), col("lang"), col("ntok"),
+      budget = PackBudget, chunkSize = 100L)
+      .select(col("id").as("doc_id"), col("group").as("lang"),
+        col("n_tokens"), col("start_offset"), col("bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sqlPack =
+    s"""WITH g AS (SELECT doc_id, lang,
+       |            CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ntok
+       |           FROM documents),
+       | c AS (SELECT doc_id, lang, ntok,
+       |        sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+       |          ROWS UNBOUNDED PRECEDING) - ntok AS off
+       |       FROM g)
+       |SELECT doc_id, lang, ntok AS n_tokens,
+       | CAST(off AS BIGINT) AS start_offset,
+       | CAST(off // $PackBudget AS BIGINT) AS bin
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_docs_pack" -> qPack _,
     "q_docs_decontaminate" -> qDecontaminate _,
     "q_docs_sample_stratified" -> qSampleStratified _,
     "q_docs_text_stats" -> qTextStats _,
@@ -796,6 +831,7 @@ object PipelineQueries {
     "q_multimodal_sniff" -> qMultimodalSniff _)
 
   val oracles: Map[String, String] = Map(
+    "q_docs_pack" -> sqlPack,
     "q_docs_decontaminate" -> sqlDecontaminate,
     "q_docs_sample_stratified" -> sqlSampleStratified,
     "q_docs_text_stats" -> sqlTextStats,

@@ -185,7 +185,40 @@ object TranscriptQueries {
        | TRUE AS compressed_smaller
        |FROM b GROUP BY conv_id ORDER BY conv_id""".stripMargin
 
+  /** Gap-based sessionization ([[graft.engine.Sessionize]]) — one
+    * summary row per (conv, session) split at >1-day silences. */
+  private def qSessions(s: SparkSession, dir: String): DataFrame = {
+    val withIdx = Transcripts.series(Transcripts.fromEvents(s, dir))
+    graft.engine.Sessionize.sessions(withIdx, gapSeconds = 86400.0)
+      .select(col("conv_id"), col("session_idx"), col("n_turns"),
+        r(col("t_start")).as("t_start"), r(col("t_end")).as("t_end"),
+        r(col("duration")).as("duration"), r(col("sum_m")).as("sum_m"))
+      .orderBy(col("conv_id"), col("session_idx"))
+  }
+
+  private val sqlSessions =
+    s"""WITH p AS (SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+       |            epoch(ts) - $TB AS t,
+       |            CAST(length(props) AS DOUBLE) AS m,
+       |            row_number() OVER (PARTITION BY user_id
+       |              ORDER BY ts, event_id) - 1 AS turn_idx
+       |           FROM events),
+       | a AS (SELECT *, CASE WHEN t - lag(t) OVER w > 86400.0
+       |          THEN 1 ELSE 0 END AS gap
+       |       FROM p WINDOW w AS (PARTITION BY conv_id ORDER BY t, turn_idx)),
+       | sidx AS (SELECT *, sum(gap) OVER (PARTITION BY conv_id
+       |            ORDER BY t, turn_idx ROWS UNBOUNDED PRECEDING) AS session_idx
+       |          FROM a)
+       |SELECT conv_id, CAST(session_idx AS BIGINT) AS session_idx,
+       | count(*) AS n_turns,
+       | round(min(t) + $JitterSql, $R) + 0 AS t_start,
+       | round(max(t) + $JitterSql, $R) + 0 AS t_end,
+       | round(max(t) - min(t) + $JitterSql, $R) + 0 AS duration,
+       | round(sum(m) + $JitterSql, $R) + 0 AS sum_m
+       |FROM sidx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tr_sessions" -> qSessions _,
     "q_tr_tier_1m" -> qTier1m _,
     "q_tr_tier_1h" -> qTier1h _,
     "q_tr_tier_1d" -> qTier1d _,
@@ -194,6 +227,7 @@ object TranscriptQueries {
     "q_tr_gorilla" -> qGorilla _)
 
   val oracles: Map[String, String] = Map(
+    "q_tr_sessions" -> sqlSessions,
     "q_tr_tier_1m" -> sqlTier1m,
     "q_tr_tier_1h" -> sqlTier1h,
     "q_tr_tier_1d" -> sqlTier1d,

@@ -337,6 +337,72 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hierarchical packing equals the single-stream layout at any chunk size") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val docs = (0L until 400L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", 1 + rng.nextInt(300))).toSeq
+    val df = docs.toDF("doc_id", "lang", "ntok")
+    // expected: plain per-group running offset in doc_id order
+    val expected = docs.groupBy(_._2).flatMap { case (_, g) =>
+      g.sortBy(_._1).scanLeft((-1L, "", 0, 0L)) { case ((_, _, _, cum), (id, l, t)) =>
+        (id, l, t, cum + t)
+      }.drop(1).map { case (id, _, t, cumAfter) => id -> (cumAfter - t) }
+    }.toMap
+    for (chunk <- Seq(1L, 7L, 64L, 1000L)) {
+      val out = Packing.pack(df, col("doc_id"), col("lang"), col("ntok"),
+        budget = 128L, chunkSize = chunk).collect()
+      assert(out.length == 400)
+      out.foreach { r =>
+        val (id, off, bin) = (r.getLong(0), r.getLong(3), r.getLong(4))
+        assert(off == expected(id), s"chunk=$chunk doc $id offset")
+        assert(bin == off / 128L, s"chunk=$chunk doc $id bin")
+      }
+    }
+  }
+
+  test("packing plan: every corpus window is chunk-bounded (no whole-group window)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = s2.range(100).select(col("id").as("doc_id"),
+      lit("en").as("lang"), lit(5).as("ntok"))
+    val packed = Packing.pack(df, col("doc_id"), col("lang"), col("ntok"),
+      budget = 64L, chunkSize = 10L)
+    val windows = packed.queryExecution.executedPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      // the per-row cumsum must be chunk-bounded; the only group-keyed
+      // window is over the tiny chunk-totals table (one row per chunk)
+      val rowsPerPartitionBounded = keys.contains("_chunk")
+      val isChunkTotals = w.child.output.map(_.name).contains("_chunk_tok")
+      assert(rowsPerPartitionBounded || isChunkTotals,
+        s"unbounded window over $keys:\n$w")
+    }
+  }
+
+  test("sessionization splits exactly at gaps over the threshold") {
+    import spark.implicits._
+    // conv A: gaps 10, 5000, 10 with threshold 1800 -> sessions [0,0,1,1]
+    // conv B: all gaps small -> one session
+    val turns = Seq(
+      ("A", 0, 0.0, 2.0), ("A", 1, 10.0, 3.0), ("A", 2, 5010.0, 5.0),
+      ("A", 3, 5020.0, 7.0),
+      ("B", 0, 0.0, 1.0), ("B", 1, 100.0, 1.0), ("B", 2, 200.0, 1.0))
+      .toDF("conv_id", "turn_idx", "t", "m")
+    val out = graft.engine.Sessionize.sessions(turns, gapSeconds = 1800.0)
+      .orderBy("conv_id", "session_idx").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("A", 0L, 2L, 10.0), ("A", 1L, 2L, 10.0), ("B", 0L, 3L, 200.0)))
+    // boundary: a gap EXACTLY at the threshold does not split (strict >)
+    val edge = Seq(("C", 0, 0.0, 1.0), ("C", 1, 1800.0, 1.0))
+      .toDF("conv_id", "turn_idx", "t", "m")
+    assert(graft.engine.Sessionize.sessions(edge, 1800.0).count() == 1)
+  }
+
   test("language ID mechanism: separable corpora classify correctly") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
