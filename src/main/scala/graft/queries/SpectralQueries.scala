@@ -282,9 +282,17 @@ object SpectralQueries {
       "tr_ln1p_villar_fit_reduced_chi2",
       "tr_linexp_fit_amplitude", "tr_linexp_fit_baseline",
       "tr_ln1p_linexp_fit_reduced_chi2")
+    // the LM path (reference Lmsder / Mcmc{fine_tuning}) exercised on
+    // the same series: MCMC coarse + Levenberg-Marquardt polish
+    val lmFeats = Seq(CurveFitFeature(NonlinearFit.BazinModel,
+      algorithm = graft.ref.FitAlgorithm.McmcLmsder))
+    val withLm = withTr.withColumn("flm",
+      SeriesFeatures.extract(lmFeats)(col("p")))
+      .withColumn("lm_bazin_fit_reduced_chi2", col("flm").getItem(5))
     val outCols = names.map(n => round(col(s"_$n"), 6).as(n)) ++
-      trNames.map(n => round(col(n), 6).as(n))
-    withTr.select((col("user_id") +: outCols): _*).orderBy(col("user_id"))
+      trNames.map(n => round(col(n), 6).as(n)) :+
+      round(col("lm_bazin_fit_reduced_chi2"), 6).as("lm_bazin_fit_reduced_chi2")
+    withLm.select((col("user_id") +: outCols): _*).orderBy(col("user_id"))
   }
 
   /** Combined multi-band periodogram per series (bands = event_type):

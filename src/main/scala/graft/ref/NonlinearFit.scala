@@ -36,6 +36,12 @@ object NonlinearFit {
     def paramKinds: Seq[ParamKind]
     /** Model value at (normalized) time t for dimensionless params. */
     def model(t: Double, p: Array[Double]): Double
+    /** Analytic gradient d model / d p at (normalized) time t — the
+      * Jacobian row the LM fitter needs (each reference model ships
+      * `derivatives` alongside `model` for the same reason; formulas
+      * derived from the model definitions, checked against central
+      * finite differences in FitSpec). */
+    def jacobian(t: Double, p: Array[Double]): Array[Double]
     /** Data-driven inits/bounds from (normalized) series extrema. */
     def initsBounds(tMin: Double, tMax: Double, tPeak: Double,
         mMin: Double, mMax: Double): InitsBounds
@@ -51,6 +57,19 @@ object NonlinearFit {
     def model(t: Double, p: Array[Double]): Double = {
       val minusDt = p(2) - t
       p(1) + p(0) * math.exp(minusDt / p(4)) / (math.exp(minusDt / p(3)) + 1.0)
+    }
+    def jacobian(t: Double, p: Array[Double]): Array[Double] = {
+      val x = p(2) - t
+      val ef = math.exp(x / p(4))
+      val er = math.exp(x / p(3))
+      val d = er + 1.0
+      val g = ef / d // model shape without amplitude/baseline
+      Array(
+        g, // dA
+        1.0, // dB
+        p(0) * g * (1.0 / p(4) - er / (p(3) * d)), // dt0 (x = t0 - t)
+        p(0) * g * er * x / (p(3) * p(3) * d), // dtau_rise
+        -p(0) * g * x / (p(4) * p(4))) // dtau_fall
     }
     def initsBounds(tMin: Double, tMax: Double, tPeak: Double,
         mMin: Double, mMax: Double): InitsBounds = {
@@ -73,6 +92,16 @@ object NonlinearFit {
     def model(t: Double, p: Array[Double]): Double = {
       val dt = (t - p(1)) / p(2)
       p(3) + p(0) * dt * math.exp(-dt)
+    }
+    def jacobian(t: Double, p: Array[Double]): Array[Double] = {
+      val u = (t - p(1)) / p(2)
+      val e = math.exp(-u)
+      val core = e * (1.0 - u) // d(u e^-u)/du
+      Array(
+        u * e, // dA
+        -p(0) * core / p(2), // dt0 (du/dt0 = -1/tau)
+        -p(0) * core * u / p(2), // dtau (du/dtau = -u/tau)
+        1.0) // dB
     }
     def initsBounds(tMin: Double, tMax: Double, tPeak: Double,
         mMin: Double, mMax: Double): InitsBounds = {
@@ -102,6 +131,27 @@ object NonlinearFit {
       val t1 = p(2) + p(6)
       val fall = if (t <= t1) 1.0 else math.exp(-(t - t1) / p(4))
       p(1) + p(0) * rise * plateau * fall
+    }
+    def jacobian(t: Double, p: Array[Double]): Array[Double] = {
+      val dt = t - p(2)
+      val r = 1.0 / (1.0 + math.exp(-dt / p(3)))
+      val onPlateau = dt / p(6) < 1.0
+      val pl = 1.0 - p(5) * (if (onPlateau) dt / p(6) else 1.0)
+      val t1 = p(2) + p(6)
+      val falling = t > t1
+      val f = if (falling) math.exp(-(t - t1) / p(4)) else 1.0
+      val dRdt0 = -r * (1.0 - r) / p(3) // dsigma(dt/tau_r)/dt0
+      val dPdt0 = if (onPlateau) p(5) / p(6) else 0.0
+      val dFdt0 = if (falling) f / p(4) else 0.0
+      Array(
+        r * pl * f, // da
+        1.0, // dc
+        p(0) * (dRdt0 * pl * f + r * dPdt0 * f + r * pl * dFdt0), // dt0
+        p(0) * pl * f * r * (1.0 - r) * (-dt / (p(3) * p(3))), // dtau_rise
+        if (falling) p(0) * r * pl * f * (t - t1) / (p(4) * p(4)) else 0.0, // dtau_fall
+        -p(0) * r * f * (if (onPlateau) dt / p(6) else 1.0), // dnu
+        p(0) * (r * f * (if (onPlateau) p(5) * dt / (p(6) * p(6)) else 0.0)
+          + (if (falling) r * pl * f / p(4) else 0.0))) // dgamma
     }
     def initsBounds(tMin: Double, tMax: Double, tPeak: Double,
         mMin: Double, mMax: Double): InitsBounds = {
@@ -253,13 +303,76 @@ object NonlinearFit {
     }
     simplex(fv.indices.minBy(fv(_)))
   }
+
+  /** Reference PARAMETER_TOLERANCE (nl_fit/constants.rs:1). */
+  val ParamTol = 1e-4
+
+  /** Levenberg-Marquardt weighted least squares — the engine's
+    * analogue of the reference's GSL `LmsderCurveFit`
+    * (nl_fit/lmsder.rs:24-44: analytic-Jacobian LM, max_iter 10,
+    * parameter tolerance 1e-4, NO bounds and NO priors), built on
+    * commons-math3's LevenbergMarquardtOptimizer instead of GSL.
+    * Minimizes sum((invErr * (model - m))^2) from `x0`; returns `x0`
+    * unchanged if the solver fails or diverges to non-finite
+    * parameters (GSL likewise hands back its last iterate). */
+  def lmFit(model: FitModel, t: Array[Double], m: Array[Double],
+      invErr: Array[Double], x0: Array[Double], maxIter: Int = 10): Array[Double] = {
+    import org.apache.commons.math3.fitting.leastsquares.{LeastSquaresBuilder, LevenbergMarquardtOptimizer, MultivariateJacobianFunction}
+    import org.apache.commons.math3.linear.{Array2DRowRealMatrix, ArrayRealVector, RealMatrix, RealVector}
+    val mjf = new MultivariateJacobianFunction {
+      override def value(point: RealVector): org.apache.commons.math3.util.Pair[RealVector, RealMatrix] = {
+        val p = point.toArray
+        val n = t.length
+        val r = new Array[Double](n)
+        val jac = Array.ofDim[Double](n, p.length)
+        var i = 0
+        while (i < n) {
+          r(i) = invErr(i) * (model.model(t(i), p) - m(i))
+          val g = model.jacobian(t(i), p)
+          var j = 0
+          while (j < g.length) { jac(i)(j) = invErr(i) * g(j); j += 1 }
+          i += 1
+        }
+        new org.apache.commons.math3.util.Pair(
+          new ArrayRealVector(r, false): RealVector,
+          new Array2DRowRealMatrix(jac, false): RealMatrix)
+      }
+    }
+    val problem = new LeastSquaresBuilder()
+      .start(x0.clone())
+      .model(mjf)
+      .target(new Array[Double](t.length))
+      .maxEvaluations(200 * math.max(1, maxIter))
+      .maxIterations(20 * math.max(1, maxIter))
+      .build()
+    val opt = new LevenbergMarquardtOptimizer(100.0, ParamTol, ParamTol,
+      ParamTol, org.apache.commons.math3.util.Precision.SAFE_MIN)
+    try {
+      val fitted = opt.optimize(problem).getPoint.toArray
+      if (fitted.forall(java.lang.Double.isFinite)) fitted else x0
+    } catch {
+      case _: org.apache.commons.math3.exception.MathRuntimeException => x0
+    }
+  }
+}
+
+/** Fit driver selection, mirroring the reference's CurveFitAlgorithm
+  * (nl_fit/mod.rs): the MCMC path with a derivative-free polish (our
+  * default), the pure LM path (reference `Lmsder`), and MCMC with LM
+  * fine-tuning (reference `Mcmc { fine_tuning: Some(lmsder) }`). */
+sealed trait FitAlgorithm extends Serializable
+object FitAlgorithm {
+  case object McmcNm extends FitAlgorithm
+  case object Lmsder extends FitAlgorithm
+  case object McmcLmsder extends FitAlgorithm
 }
 
 /** A *Fit feature: normalize, fit (MCMC + Nelder-Mead polish), emit
   * original-units parameters followed by the reduced chi2
   * (fit_eval! macro, macros.rs:128-177). */
 final case class CurveFitFeature(model: NonlinearFit.FitModel,
-    nIterations: Int = 128, seed: Long = 0L) extends Feature {
+    nIterations: Int = 128, seed: Long = 0L,
+    algorithm: FitAlgorithm = FitAlgorithm.McmcNm) extends Feature {
   import NonlinearFit._
 
   val name: String = model.name
@@ -291,8 +404,16 @@ final case class CurveFitFeature(model: NonlinearFit.FitModel,
     }
     val ib = model.initsBounds(t(0), t(t.length - 1), tPeak, mMin, mMax)
 
-    val coarse = mcmcFit(model, t, m, invErr, ib, nIterations, seed)
-    val best = nelderMead(p => chi2Of(t, m, invErr, p), coarse, ib.lower, ib.upper)
+    val best = algorithm match {
+      case FitAlgorithm.McmcNm =>
+        val coarse = mcmcFit(model, t, m, invErr, ib, nIterations, seed)
+        nelderMead(p => chi2Of(t, m, invErr, p), coarse, ib.lower, ib.upper)
+      case FitAlgorithm.Lmsder =>
+        lmFit(model, t, m, invErr, ib.init)
+      case FitAlgorithm.McmcLmsder =>
+        val coarse = mcmcFit(model, t, m, invErr, ib, nIterations, seed)
+        lmFit(model, t, m, invErr, coarse)
+    }
     val redChi2 = chi2Of(t, m, invErr, best) / (t.length - model.nParams).toDouble
 
     // dimensionless -> original units

@@ -145,6 +145,43 @@ class FitSpec extends AnyFunSuite {
       CurveFitFeature(NonlinearFit.BazinModel).minTsLength)
   }
 
+  test("analytic jacobians match central finite differences on every model") {
+    val cases = Seq(
+      NonlinearFit.BazinModel -> Array(1.2, 0.3, 0.1, 0.4, 0.9),
+      NonlinearFit.LinexpModel -> Array(2.0, -0.2, 0.7, 0.1),
+      NonlinearFit.VillarModel -> Array(1.5, 0.2, -0.1, 0.3, 0.8, 0.4, 0.6))
+    for ((model, p) <- cases; t <- Seq(-1.5, -0.3, 0.05, 0.4, 1.1, 2.7)) {
+      val g = model.jacobian(t, p)
+      for (j <- p.indices) {
+        val h = 1e-6 * math.max(1.0, math.abs(p(j)))
+        val pp = p.clone(); pp(j) += h
+        val pm = p.clone(); pm(j) -= h
+        val fd = (model.model(t, pp) - model.model(t, pm)) / (2 * h)
+        assert(math.abs(g(j) - fd) <= 1e-5 * math.max(1.0, math.abs(fd)),
+          s"${model.name} d/dp$j at t=$t: analytic ${g(j)} vs fd $fd")
+      }
+    }
+  }
+
+  test("LM fit (lmsder analogue) recovers parameters from the data-driven init") {
+    val truth = Array(100.0, 10.0, 20.0, 5.0, 30.0)
+    val (t, m, w) = mkCurve(NonlinearFit.BazinModel, truth, sigma = 0.5)
+    val out = CurveFitFeature(NonlinearFit.BazinModel,
+      algorithm = FitAlgorithm.Lmsder)
+      .evalOrFill(LightCurve(t, m, w), Double.NaN)
+    assert(math.abs(out(0) - truth(0)) / truth(0) < 0.1, s"amplitude ${out(0)}")
+    assert(math.abs(out(2) - truth(2)) < 3.0, s"t0 ${out(2)}")
+    assert(out(5) > 0.3 && out(5) < 3.0, s"reduced chi2 ${out(5)}")
+    // mcmc + LM fine-tune must not be worse than mcmc + nelder-mead
+    val nm = CurveFitFeature(NonlinearFit.BazinModel)
+      .evalOrFill(LightCurve(t, m, w), Double.NaN)
+    val lm = CurveFitFeature(NonlinearFit.BazinModel,
+      algorithm = FitAlgorithm.McmcLmsder)
+      .evalOrFill(LightCurve(t, m, w), Double.NaN)
+    assert(lm(5) <= nm(5) * 1.05,
+      s"LM polish degraded chi2: ${lm(5)} vs ${nm(5)}")
+  }
+
   test("nelder-mead minimizes a bounded quadratic") {
     val f = (p: Array[Double]) =>
       (p(0) - 3.0) * (p(0) - 3.0) + 2.0 * (p(1) + 1.0) * (p(1) + 1.0)
