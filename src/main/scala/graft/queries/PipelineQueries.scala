@@ -126,14 +126,24 @@ object PipelineQueries {
     val kept = postings.join(hot, Seq("lang", "source", "g"), "left_anti")
     val sizes = kept.groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(count(lit(1)).as("n"))
-    val a = kept.select(col("lang"), col("source"), col("g"), col("doc_id").as("id_a"))
-    val b = kept.select(col("lang"), col("source"), col("g"), col("doc_id").as("id_b"))
+    // candidate pairs per shingle WITHOUT a posting self-join: one
+    // groupBy ships the postings once (a self-join shuffles them
+    // twice), then each shingle's id list — bounded by the DF cap —
+    // explodes its C(df,2) unordered pairs map-side. The per-element
+    // HOF cost is interpreted but cap-bounded (<= 128² per shingle);
+    // the shuffle it removes is corpus-sized.
+    val pairCombos = expr(
+      "flatten(transform(ids, (x, i) -> " +
+        "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+        "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))")
     // pair counting groups by the id PAIR only — a pair lives in exactly
     // one (lang, source) block, which is re-derived from the sizes
     // table instead of riding the widest shuffle (AQE picks broadcast
     // vs shuffle join for the per-doc sizes side by its actual size)
-    a.join(b, Seq("lang", "source", "g"))
-      .filter(col("id_a") < col("id_b"))
+    kept.groupBy(col("lang"), col("source"), col("g"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(pairCombos).as("pr"))
+      .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).cast("double").as("inter"))
       .join(sizes.select(col("doc_id").as("id_a"), col("lang"),
