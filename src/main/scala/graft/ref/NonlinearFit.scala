@@ -307,6 +307,204 @@ object NonlinearFit {
   /** Reference PARAMETER_TOLERANCE (nl_fit/constants.rs:1). */
   val ParamTol = 1e-4
 
+  /** No-U-Turn sampler over the fit posterior — the engine's analogue
+    * of the reference's `NutsCurveFit` (nl_fit/nuts.rs:24-60, 124-170):
+    * logp = -chi2/2 + ln_prior with -Infinity outside the bounds,
+    * gradient = -0.5 * grad(chi2) (analytic, via the model jacobians)
+    * + grad(ln_prior) (central differences; exactly zero for the flat
+    * prior), num_tune + num_draws iterations, and the returned guess
+    * is the visited position with the minimum chi2 — maximum
+    * likelihood over the whole run, exactly the reference's pick.
+    *
+    * Independent implementation of Hoffman & Gelman (2014): efficient
+    * slice-NUTS (Algorithm 3) with dual-averaging step-size adaptation
+    * toward 0.8 acceptance during the tune phase (Algorithm 6), max
+    * tree depth 10, identity mass matrix — the data are standardized
+    * before fitting, so parameter scales are O(1) (the reference
+    * adapts a diagonal mass via nuts-rs; documented deviation). */
+  def nutsFit(model: FitModel, t: Array[Double], m: Array[Double],
+      invErr: Array[Double], ib: InitsBounds,
+      numTune: Int = 200, numDraws: Int = 200, seed: Long = 0L,
+      lnPrior: Array[Double] => Double = LnPrior.flat): Array[Double] = {
+    val np = model.nParams
+    val rng = new java.util.SplittableRandom(seed)
+    val flatPrior = lnPrior eq LnPrior.flat
+
+    def inBounds(p: Array[Double]): Boolean = {
+      var i = 0
+      while (i < np) {
+        if (p(i) < ib.lower(i) || p(i) > ib.upper(i)) return false
+        i += 1
+      }
+      true
+    }
+
+    var bestP = ib.init.clone()
+    var bestChi = chi2(model, t, m, invErr, bestP)
+
+    /** (logp, grad logp); tracks the global min-chi2 position. */
+    def logpGrad(p: Array[Double]): (Double, Array[Double]) = {
+      val g = new Array[Double](np)
+      if (!inBounds(p)) return (Double.NegativeInfinity, g)
+      var chi = 0.0
+      var i = 0
+      while (i < t.length) {
+        val diff = model.model(t(i), p) - m(i)
+        val w2 = invErr(i) * invErr(i)
+        chi += w2 * diff * diff
+        val jr = model.jacobian(t(i), p)
+        var j = 0
+        while (j < np) { g(j) += 2.0 * w2 * diff * jr(j); j += 1 }
+        i += 1
+      }
+      if (chi < bestChi && java.lang.Double.isFinite(chi)) {
+        bestChi = chi; bestP = p.clone()
+      }
+      val lp = lnPrior(p)
+      var j = 0
+      while (j < np) {
+        val pg = if (flatPrior) 0.0 else {
+          val h = 1e-6 * math.max(1.0, math.abs(p(j)))
+          val pp = p.clone(); pp(j) += h
+          val pm = p.clone(); pm(j) -= h
+          (lnPrior(pp) - lnPrior(pm)) / (2 * h)
+        }
+        g(j) = -0.5 * g(j) + pg
+        j += 1
+      }
+      (-0.5 * chi + lp, g)
+    }
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    final case class State(p: Array[Double], r: Array[Double],
+      logp: Double, grad: Array[Double])
+
+    def leapfrog(s: State, eps: Double): State = {
+      val r1 = Array.tabulate(np)(i => s.r(i) + 0.5 * eps * s.grad(i))
+      val p1 = Array.tabulate(np)(i => s.p(i) + eps * r1(i))
+      val (lp, g) = logpGrad(p1)
+      val r2 = Array.tabulate(np)(i => r1(i) + 0.5 * eps * g(i))
+      State(p1, r2, lp, g)
+    }
+
+    def joint(s: State): Double = s.logp - 0.5 * dot(s.r, s.r)
+
+    val DeltaMax = 1000.0
+    val MaxDepth = 10
+
+    // tree node: (minus, plus, sample, nValid, noUturn, sumAlpha, nAlpha)
+    final case class Tree(minus: State, plus: State, sample: Array[Double],
+      n: Long, s: Boolean, alpha: Double, nAlpha: Long)
+
+    def noUturn(minus: State, plus: State): Boolean = {
+      val dp = Array.tabulate(np)(i => plus.p(i) - minus.p(i))
+      dot(dp, minus.r) >= 0.0 && dot(dp, plus.r) >= 0.0
+    }
+
+    def buildTree(s0: State, logu: Double, dir: Int, depth: Int,
+        eps: Double, joint0: Double): Tree = {
+      if (depth == 0) {
+        val s1 = leapfrog(s0, dir * eps)
+        val j1 = joint(s1)
+        val n = if (logu <= j1) 1L else 0L
+        val keep = logu < j1 + DeltaMax
+        val a = math.min(1.0, math.exp(j1 - joint0))
+        Tree(s1, s1, s1.p, n, keep, if (j1.isNaN) 0.0 else a, 1L)
+      } else {
+        val inner = buildTree(s0, logu, dir, depth - 1, eps, joint0)
+        if (!inner.s) inner
+        else {
+          val outer =
+            if (dir == -1) buildTree(inner.minus, logu, dir, depth - 1, eps, joint0)
+            else buildTree(inner.plus, logu, dir, depth - 1, eps, joint0)
+          val minus = if (dir == -1) outer.minus else inner.minus
+          val plus = if (dir == -1) inner.plus else outer.plus
+          val nTot = inner.n + outer.n
+          val sample =
+            if (nTot > 0 && rng.nextDouble() < outer.n.toDouble / nTot) outer.sample
+            else inner.sample
+          Tree(minus, plus, sample, nTot,
+            outer.s && noUturn(minus, plus),
+            inner.alpha + outer.alpha, inner.nAlpha + outer.nAlpha)
+        }
+      }
+    }
+
+    // initial state + reasonable first step size (Alg. 4, simplified:
+    // double/halve until the first leapfrog's acceptance crosses 0.5)
+    var (lp0, g0) = logpGrad(ib.init)
+    var cur = State(ib.init.clone(), new Array[Double](np), lp0, g0)
+    var eps = 0.1
+    if (java.lang.Double.isFinite(lp0)) {
+      val r0 = Array.fill(np)(rng.nextGaussian())
+      val s0 = cur.copy(r = r0)
+      val j0 = joint(s0)
+      var a0 = joint(leapfrog(s0, eps)) - j0
+      if (!a0.isNaN) {
+        val dir = if (a0 > math.log(0.5)) 1 else -1
+        var guard = 0
+        while (guard < 40 && {
+          val jj = joint(leapfrog(s0, eps)) - j0
+          !jj.isNaN && dir * jj > -dir * math.log(2.0)
+        }) { eps *= math.pow(2.0, dir); guard += 1 }
+      }
+    }
+
+    // dual averaging constants (Alg. 6)
+    val mu = math.log(10.0 * eps)
+    val gammaDA = 0.05; val t0 = 10.0; val kappa = 0.75
+    val targetAccept = 0.8
+    var hBar = 0.0; var logEpsBar = 0.0
+
+    var it = 1
+    val total = numTune + numDraws
+    while (it <= total) {
+      val r0 = Array.fill(np)(rng.nextGaussian())
+      val s0 = cur.copy(r = r0)
+      val j0 = joint(s0)
+      if (java.lang.Double.isFinite(j0)) {
+        val logu = j0 + math.log(rng.nextDouble())
+        var minus = s0; var plus = s0
+        var sample = cur.p
+        var n = 1L; var keep = true; var depth = 0
+        var alpha = 0.0; var nAlpha = 1L
+        while (keep && depth < MaxDepth) {
+          val dir = if (rng.nextBoolean()) 1 else -1
+          val tree =
+            if (dir == -1) buildTree(minus, logu, dir, depth, eps, j0)
+            else buildTree(plus, logu, dir, depth, eps, j0)
+          if (dir == -1) minus = tree.minus else plus = tree.plus
+          if (tree.s && tree.n > 0 &&
+              rng.nextDouble() < math.min(1.0, tree.n.toDouble / n))
+            sample = tree.sample
+          n += tree.n
+          keep = tree.s && noUturn(minus, plus)
+          alpha = tree.alpha; nAlpha = tree.nAlpha
+          depth += 1
+        }
+        val (lpNew, gNew) = logpGrad(sample)
+        cur = State(sample, new Array[Double](np), lpNew, gNew)
+        // step-size adaptation during tune only
+        if (it <= numTune) {
+          val w = 1.0 / (it + t0)
+          hBar = (1.0 - w) * hBar + w * (targetAccept - alpha / nAlpha)
+          val logEps = mu - math.sqrt(it.toDouble) / gammaDA * hBar
+          val wk = math.pow(it.toDouble, -kappa)
+          logEpsBar = wk * logEps + (1.0 - wk) * logEpsBar
+          eps = math.exp(logEps)
+          if (it == numTune) eps = math.exp(logEpsBar)
+        }
+      }
+      it += 1
+    }
+    bestP
+  }
+
   /** Levenberg-Marquardt weighted least squares — the engine's
     * analogue of the reference's GSL `LmsderCurveFit`
     * (nl_fit/lmsder.rs:24-44: analytic-Jacobian LM, max_iter 10,
@@ -365,6 +563,9 @@ object FitAlgorithm {
   case object McmcNm extends FitAlgorithm
   case object Lmsder extends FitAlgorithm
   case object McmcLmsder extends FitAlgorithm
+  /** NUTS HMC with an optional fine-tuning pass on the best draw
+    * (reference `Nuts { fine_tuning_algorithm }`). */
+  final case class Nuts(fineTune: Option[FitAlgorithm] = None) extends FitAlgorithm
 }
 
 /** A *Fit feature: normalize, fit (MCMC + Nelder-Mead polish), emit
@@ -413,6 +614,15 @@ final case class CurveFitFeature(model: NonlinearFit.FitModel,
       case FitAlgorithm.McmcLmsder =>
         val coarse = mcmcFit(model, t, m, invErr, ib, nIterations, seed)
         lmFit(model, t, m, invErr, coarse)
+      case FitAlgorithm.Nuts(fineTune) =>
+        val draw = nutsFit(model, t, m, invErr, ib, seed = seed)
+        fineTune match {
+          case None => draw
+          case Some(FitAlgorithm.Lmsder) | Some(FitAlgorithm.McmcLmsder) =>
+            lmFit(model, t, m, invErr, draw)
+          case Some(_) =>
+            nelderMead(p => chi2Of(t, m, invErr, p), draw, ib.lower, ib.upper)
+        }
     }
     val redChi2 = chi2Of(t, m, invErr, best) / (t.length - model.nParams).toDouble
 

@@ -182,6 +182,28 @@ class FitSpec extends AnyFunSuite {
       s"LM polish degraded chi2: ${lm(5)} vs ${nm(5)}")
   }
 
+  test("NUTS fit recovers parameters and LM fine-tuning sharpens the draw") {
+    val truth = Array(100.0, 10.0, 20.0, 5.0, 30.0)
+    val (t, m, w) = mkCurve(NonlinearFit.BazinModel, truth, sigma = 0.5)
+    val nuts = CurveFitFeature(NonlinearFit.BazinModel,
+      algorithm = FitAlgorithm.Nuts())
+      .evalOrFill(LightCurve(t, m, w), Double.NaN)
+    assert(math.abs(nuts(0) - truth(0)) / truth(0) < 0.15, s"amplitude ${nuts(0)}")
+    assert(math.abs(nuts(2) - truth(2)) < 5.0, s"t0 ${nuts(2)}")
+    assert(nuts(5) > 0.2 && nuts(5) < 5.0, s"reduced chi2 ${nuts(5)}")
+    val tuned = CurveFitFeature(NonlinearFit.BazinModel,
+      algorithm = FitAlgorithm.Nuts(Some(FitAlgorithm.Lmsder)))
+      .evalOrFill(LightCurve(t, m, w), Double.NaN)
+    assert(tuned(5) <= nuts(5) + 1e-9,
+      s"LM fine-tune must not worsen chi2: ${tuned(5)} vs ${nuts(5)}")
+    assert(tuned(5) > 0.3 && tuned(5) < 3.0, s"tuned reduced chi2 ${tuned(5)}")
+    // determinism under a fixed seed
+    val again = CurveFitFeature(NonlinearFit.BazinModel,
+      algorithm = FitAlgorithm.Nuts())
+      .evalOrFill(LightCurve(t, m, w), Double.NaN)
+    assert(nuts.toSeq == again.toSeq)
+  }
+
   test("nelder-mead minimizes a bounded quadratic") {
     val f = (p: Array[Double]) =>
       (p(0) - 3.0) * (p(0) - 3.0) + 2.0 * (p(1) + 1.0) * (p(1) + 1.0)
