@@ -25,6 +25,27 @@ object FeatureJson {
     mapper.writeValueAsString(arr)
   }
 
+  /** Flat string form of a fit algorithm (the reference nests a
+    * CurveFitAlgorithm object; a string keeps this schema simple while
+    * covering the same choices, incl. NUTS fine-tuning as a suffix). */
+  private[ref] def algName(a: FitAlgorithm): String = a match {
+    case FitAlgorithm.McmcNm => "mcmc_nm"
+    case FitAlgorithm.Lmsder => "lmsder"
+    case FitAlgorithm.McmcLmsder => "mcmc_lmsder"
+    case FitAlgorithm.Nuts(None) => "nuts"
+    case FitAlgorithm.Nuts(Some(ft)) => s"nuts+${algName(ft)}"
+  }
+
+  private[ref] def parseAlg(s: String): FitAlgorithm = s match {
+    case "mcmc_nm" => FitAlgorithm.McmcNm
+    case "lmsder" => FitAlgorithm.Lmsder
+    case "mcmc_lmsder" => FitAlgorithm.McmcLmsder
+    case "nuts" => FitAlgorithm.Nuts(None)
+    case n if n.startsWith("nuts+") =>
+      FitAlgorithm.Nuts(Some(parseAlg(n.stripPrefix("nuts+"))))
+    case other => throw new IllegalArgumentException(s"unknown fit algorithm: $other")
+  }
+
   private def tag(name: String)(fill: ObjectNode => Unit): ObjectNode = {
     val outer = mapper.createObjectNode()
     val inner = outer.putObject(name)
@@ -99,7 +120,10 @@ object FeatureJson {
         case NonlinearFit.BazinModel => "BazinFit"
         case NonlinearFit.VillarModel => "VillarFit"
         case NonlinearFit.LinexpModel => "LinexpFit"
-      })(o => { o.put("niterations", cf.nIterations); o.put("seed", cf.seed) })
+      })(o => {
+        o.put("niterations", cf.nIterations); o.put("seed", cf.seed)
+        o.put("algorithm", FeatureJson.algName(cf.algorithm))
+      })
     case BinsFeature(inner, window, offset) =>
       tag("Bins") { o =>
         o.put("window", window)
@@ -188,13 +212,19 @@ object FeatureJson {
         Transformed(fromNode(b.get("feature")), tr)
       case "BazinFit" =>
         CurveFitFeature(NonlinearFit.BazinModel, b.get("niterations").asInt(),
-          b.get("seed").asLong())
+          b.get("seed").asLong(),
+          if (b.has("algorithm")) parseAlg(b.get("algorithm").asText())
+          else FitAlgorithm.McmcNm)
       case "VillarFit" =>
         CurveFitFeature(NonlinearFit.VillarModel, b.get("niterations").asInt(),
-          b.get("seed").asLong())
+          b.get("seed").asLong(),
+          if (b.has("algorithm")) parseAlg(b.get("algorithm").asText())
+          else FitAlgorithm.McmcNm)
       case "LinexpFit" =>
         CurveFitFeature(NonlinearFit.LinexpModel, b.get("niterations").asInt(),
-          b.get("seed").asLong())
+          b.get("seed").asLong(),
+          if (b.has("algorithm")) parseAlg(b.get("algorithm").asText())
+          else FitAlgorithm.McmcNm)
       case "Bins" =>
         val arr = b.get("features")
         BinsFeature((0 until arr.size()).map(i => fromNode(arr.get(i))).toSeq,
@@ -294,6 +324,9 @@ object FeatureJson {
       val props = b.putObject("properties")
       props.putObject("niterations").put("type", "integer")
       props.putObject("seed").put("type", "integer")
+      props.putObject("algorithm").put("type", "string")
+        .put("pattern", "^(nuts\\+)?(mcmc_nm|lmsder|mcmc_lmsder|nuts)$")
+        .put("default", "mcmc_nm")
     })
     variant("Bins") { b =>
       val props = b.putObject("properties")

@@ -31,6 +31,10 @@ class FeatureJsonSpec extends AnyFunSuite {
     Transformed(Features.Mean, Transformer.ClippedLg(-300.0)),
     CurveFitFeature(NonlinearFit.BazinModel, nIterations = 8),
     CurveFitFeature(NonlinearFit.LinexpModel, nIterations = 8, seed = 5L),
+    CurveFitFeature(NonlinearFit.BazinModel, nIterations = 8,
+      algorithm = FitAlgorithm.Lmsder),
+    CurveFitFeature(NonlinearFit.VillarModel, nIterations = 8,
+      algorithm = FitAlgorithm.Nuts(Some(FitAlgorithm.Lmsder))),
     BinsFeature(Seq(Features.Mean, Features.StandardDeviation), window = 2.5, offset = 0.5))
 
   test("every feature JSON-round-trips to an equal evaluator") {
