@@ -236,9 +236,20 @@ object Dedup {
    * set has not reached its star fixpoint within `maxIters` rounds the
    * call THROWS instead of returning silently-split clusters (the
    * round-2 bug); the default 50 covers components of ~2^50 nodes.
+   *
+   * Local finish: when `localFinishEdges` > 0 and a round's live edge
+   * count drops to or below it, the remaining frontier is collected
+   * and closed with a driver-side union-find instead of paying
+   * O(log diameter) more Spark rounds of fixed job cost. This is the
+   * standard bounded tail fallback (a la GraphFrames/GraphX local
+   * aggregation): memory is capped at ~16 bytes x threshold by
+   * construction, and the star rounds have already contracted any
+   * corpus-sized clique structure before the frontier can shrink
+   * under a sane threshold. Disabled (0) by default so the pure
+   * distributed path stays the tested contract.
    */
   def duplicateClusters(ids: DataFrame, pairs: DataFrame,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, localFinishEdges: Int = 0): DataFrame = {
     // canonical directed edges: larger id -> smaller id, deduplicated
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
@@ -261,7 +272,46 @@ object Dedup {
     var converged = sig._1 == 0L
     var it = 0
     var prev: DataFrame = null
+
+    /** Close a bounded frontier on the driver: union-find with path
+      * compression, then re-emit the member -> component-min stars in
+      * the same (u, v) shape the distributed fixpoint produces. */
+    def localFinish(e: DataFrame): DataFrame = {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val rows = e.select(col("u"), col("v")).as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      rows.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) {
+          // union by min id keeps the root the component minimum
+          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      val members = rows.iterator.flatMap(p => Iterator(p._1, p._2))
+        .toArray.distinct
+      val stars = members.iterator.map(x => (x, find(x)))
+        .filter(p => p._1 != p._2).toSeq
+      stars.toDF("u", "v")
+    }
+
     while (!converged && it < maxIters) {
+      if (localFinishEdges > 0 && sig._1 <= localFinishEdges) {
+        val finished = localFinish(edges)
+        if (prev != null) prev.unpersist(blocking = false)
+        prev = edges
+        edges = finished
+        converged = true
+      } else {
       // large-star: hang every node's LARGER neighbors off the minimum
       // of its closed neighborhood (connectivity-preserving; keeps
       // u > v invariant since m <= u < v)
@@ -287,6 +337,7 @@ object Dedup {
       prev = edges
       edges = next
       sig = nextSig
+      }
       it += 1
     }
     if (!converged)

@@ -231,7 +231,8 @@ object PipelineQueries {
     val edges = Dedup.minHashLshPairs(base, k = 16, bands = 4)
       .filter(round(col("jaccard"), 6) >= 0.5)
       .select(col("id_a"), col("id_b"))
-    Dedup.duplicateClusters(base.select(col("id")), edges)
+    Dedup.duplicateClusters(base.select(col("id")), edges,
+        localFinishEdges = 1 << 20)
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))

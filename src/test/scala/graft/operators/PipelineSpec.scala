@@ -110,6 +110,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.getLong(2) == n.toLong)
   }
 
+  test("duplicate clustering: bounded local finish equals the distributed fixpoint") {
+    import spark.implicits._
+    val n = 3000
+    val ids = spark.range(n).toDF("id")
+    // path graph + a disjoint triangle clique + singletons beyond n-10
+    val pairs = spark.range(n - 10)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      .union(Seq((2995L, 2997L), (2997L, 2999L), (2995L, 2999L))
+        .toDF("id_a", "id_b"))
+    val pure = Dedup.duplicateClusters(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hybrid = Dedup.duplicateClusters(ids, pairs, localFinishEdges = 1 << 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hybrid == pure)
+    assert(hybrid(2999L) == 2995L && hybrid(1500L) == 0L)
+  }
+
   test("duplicate clustering: non-convergence throws instead of returning split labels") {
     import spark.implicits._
     val n = 512
