@@ -178,6 +178,34 @@ class PlanSpec extends AnyFunSuite {
       s"expected 1 hash shuffle (strata agg), got ${hashShuffles.size}:\n$plan")
   }
 
+  test("bucketed tier tables join and aggregate on conv_id with zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for (t <- Seq("t1m_bucketed", "t1h_bucketed")) {
+      s2.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    val series = Transcripts.series(s2.read.parquet(turnsPath))
+    val t1m = Rollup.tierFromTurns(series, 60L)
+    Bucketing.writeBucketed(t1m, "t1m_bucketed", buckets = 8)
+    Bucketing.writeBucketed(Rollup.tierFromTier(t1m, 3600L),
+      "t1h_bucketed", buckets = 8)
+    val joined = s2.table("t1m_bucketed")
+      .groupBy(col("conv_id")).agg(count(lit(1)).as("n_1m"))
+      .join(s2.table("t1h_bucketed")
+        .groupBy(col("conv_id")).agg(count(lit(1)).as("n_1h")), Seq("conv_id"))
+    val exchanges = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed join should be exchange-free:\n${joined.queryExecution.executedPlan}")
+    // and the result is still correct
+    assert(joined.count() > 0)
+  }
+
   test("catalyst collapses shared sub-aggregates into one physical aggregate") {
     import graft.functions.Kernels
     val series = Transcripts.series(spark.read.parquet(turnsPath))
