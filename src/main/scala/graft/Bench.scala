@@ -121,7 +121,8 @@ object Bench {
       // spread — a single pairing can read under the gate while the
       // protocol number passes. Every session is a FRESH set of
       // executor JVMs, so each runs its own discarded warm-up build.
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_ROUNDS", "3").toInt
+      val rounds = math.max(1,
+        sys.env.getOrElse("SPARK_GRAFT_CLUSTER_ROUNDS", "3").toInt)
       val best = scala.collection.mutable.Map.empty[Int, (Double, Double)]
       for (_ <- 1 to rounds; e <- Seq(8, 2)) {
         val s = clusterSession(e)

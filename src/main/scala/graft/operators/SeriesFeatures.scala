@@ -82,16 +82,20 @@ object SeriesFeatures {
    * downsample, and confined to the > maxN regime which is lossy by
    * design.
    */
-  def boundedCollect(pts: DataFrame, key: String, maxN: Int): DataFrame = {
-    val k = col(key)
-    val spans = pts.groupBy(k).agg(
+  def boundedCollect(pts: DataFrame, key: String, maxN: Int): DataFrame =
+    boundedCollect(pts, Seq(key), maxN)
+
+  /** Composite-key variant (e.g. per (series, band)). */
+  def boundedCollect(pts: DataFrame, keys: Seq[String], maxN: Int): DataFrame = {
+    val ks = keys.map(col)
+    val spans = pts.groupBy(ks: _*).agg(
       min(col("t")).as("_t0"), max(col("t")).as("_t1"),
       count(lit(1)).as("n_obs"))
-    val joined = pts.join(spans, Seq(key))
+    val joined = pts.join(spans, keys)
     val small = joined.filter(col("n_obs") <= maxN)
-      .groupBy(k, col("n_obs"))
+      .groupBy(ks :+ col("n_obs"): _*)
       .agg(collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"))
-      .select(k, col("n_obs"), col("p"))
+      .select(ks :+ col("n_obs") :+ col("p"): _*)
     val win = (col("_t1") - col("_t0")) / maxN.toDouble
     // zero-duration hot series degenerate to one bucket (the kernels
     // reject zero-duration series downstream anyway)
@@ -99,18 +103,18 @@ object SeriesFeatures {
       .withColumn("_j",
         when(col("_t1") > col("_t0"), floor(col("t") / win))
           .otherwise(lit(0.0)).cast("long"))
-      .groupBy(k, col("n_obs"), col("_t0"), col("_t1"), col("_j"))
+      .groupBy(ks ++ Seq(col("n_obs"), col("_t0"), col("_t1"), col("_j")): _*)
       .agg(count(lit(1)).as("_c"),
         sum(col("m") * col("w")).as("_smw"),
         sum(col("w")).as("_sw"))
-      .select(k, col("n_obs"),
+      .select(ks ++ Seq(col("n_obs"),
         ((col("_j") + 0.5) * win).as("t"),
         col("_j").as("idx"),
         (col("_smw") / col("_sw")).as("m"),
-        (col("_sw") / col("_c")).as("w"))
-      .groupBy(k, col("n_obs"))
+        (col("_sw") / col("_c")).as("w")): _*)
+      .groupBy(ks :+ col("n_obs"): _*)
       .agg(collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"))
-      .select(k, col("n_obs"), col("p"))
+      .select(ks :+ col("n_obs") :+ col("p"): _*)
     small.unionByName(large)
   }
 

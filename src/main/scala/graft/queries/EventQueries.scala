@@ -593,12 +593,12 @@ object EventQueries {
     val evalU = udf((ts: Seq[Double], ms: Seq[Double]) =>
       graft.ref.FeaturesF32.evalAll(
         ts.iterator.map(_.toFloat).toArray, ms.iterator.map(_.toFloat).toArray))
-    val base = pts(s, dir)
-      .groupBy(col("user_id"))
-      .agg(
-        SeriesFeatures.collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"),
-        count(lit(1)).as("n_obs"),
-        min(col("m")).as("mn"), max(col("m")).as("mx"))
+    // bounded collect (same 100k-point hot-series contract as the
+    // spectral queries — far above every test series, so oracled
+    // outputs are unchanged)
+    val base = SeriesFeatures.boundedCollect(pts(s, dir), "user_id", 100000)
+      .withColumn("mn", array_min(col("p").getField("m")))
+      .withColumn("mx", array_max(col("p").getField("m")))
       .filter(col("n_obs") >= 2 && col("mn") < col("mx"))
       .withColumn("f", evalU(col("p").getField("t"), col("p").getField("m")))
     names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
@@ -620,6 +620,13 @@ object EventQueries {
     def fl(x: String) = s"CAST($x AS FLOAT)"
     def fsum(l: String) =
       s"list_reduce(list_prepend(${fl("0.0")}, $l), (a, x) -> a + x)"
+    // f32 division mirroring JVM IEEE semantics: DuckDB FLOAT x/0
+    // yields NULL, so route the zero-denominator case through DOUBLE
+    // division (exact +-Inf/NaN with sign) and narrow — for nonzero
+    // denominators the plain FLOAT division is the bit-exact mirror
+    def fdiv(a: String, b: String) =
+      s"(CASE WHEN ($b) = 0.0 THEN CAST(CAST(($a) AS DOUBLE) " +
+        s"/ CAST(($b) AS DOUBLE) AS FLOAT) ELSE ($a) / ($b) END)"
     s"""WITH RECURSIVE p AS ($PTS),
        | g AS (SELECT user_id, count(*) AS n,
        |        list(CAST(m AS FLOAT) ORDER BY t, idx) AS mf,
@@ -669,19 +676,19 @@ object EventQueries {
        |   WHERE rk = 1),
        | fin AS (SELECT user_id,
        |          v_amp, mu, v_med, sd,
-       |          sd / mu AS v_mv,
+       |          ${fdiv("sd", "mu")} AS v_mv,
        |          v_beyond,
-       |          (cus.mx - cus.mn) / (sd * nf) AS v_cusum,
-       |          etasum / CAST(n - 1 AS FLOAT) / s2 AS v_eta,
+       |          ${fdiv("cus.mx - cus.mn", "sd * nf")} AS v_cusum,
+       |          ${fdiv("etasum / CAST(n - 1 AS FLOAT)", "s2")} AS v_eta,
        |          CASE WHEN len(slopes) > 0
        |            THEN CAST(list_aggregate(slopes, 'max') AS FLOAT)
        |            ELSE ${fl("'nan'")} END AS v_slope,
        |          CASE WHEN n >= 3
-       |            THEN m3 / (sd * sd * sd) * nf
+       |            THEN ${fdiv("m3", "sd * sd * sd")} * nf
        |                   / ((nf - ${fl("1.0")}) * (nf - ${fl("2.0")}))
        |            ELSE ${fl("'nan'")} END AS v_skew,
        |          CASE WHEN n >= 4
-       |            THEN m4 / (s2 * s2) * nf * (nf + ${fl("1.0")})
+       |            THEN ${fdiv("m4", "s2 * s2")} * nf * (nf + ${fl("1.0")})
        |                   / ((nf - ${fl("1.0")}) * (nf - ${fl("2.0")})
        |                      * (nf - ${fl("3.0")}))
        |                 - ${fl("3.0")} * (nf - ${fl("1.0")}) * (nf - ${fl("1.0")})

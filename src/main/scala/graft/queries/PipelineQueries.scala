@@ -742,8 +742,9 @@ object PipelineQueries {
 
   /** Balanced stratified downsampling with a DETERMINISTIC per-row
     * bernoulli draw — the corpus-mixing step of a training-data
-    * pipeline (cap each (lang, source) stratum at ~[[SampleTarget]]
-    * docs). The draw is `mix64(doc_id) >>> 11` scaled to [0, 1) — a
+    * pipeline (cap each language stratum at ~[[SampleTarget]] docs;
+    * `source` rides along as an output column — a finer stratum key is
+    * a one-line change to the grouping). The draw is `mix64(doc_id) >>> 11` scaled to [0, 1) — a
     * pure function of the row key, so the sample is reproducible
     * across runs/engines and stable under re-partitioning, unlike
     * `rand(seed)` whose stream is partition-order-dependent.

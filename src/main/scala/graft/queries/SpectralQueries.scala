@@ -282,10 +282,12 @@ object SpectralQueries {
       "tr_ln1p_villar_fit_reduced_chi2",
       "tr_linexp_fit_amplitude", "tr_linexp_fit_baseline",
       "tr_ln1p_linexp_fit_reduced_chi2")
-    // the LM path (reference Lmsder / Mcmc{fine_tuning}) exercised on
-    // the same series: MCMC coarse + Levenberg-Marquardt polish
+    // the LM path (reference Lmsder) exercised on the same series:
+    // pure Levenberg-Marquardt from the data-driven init — no second
+    // MCMC chain rides this column (McmcLmsder would re-run the full
+    // ensemble sampler the battery already paid for above)
     val lmFeats = Seq(CurveFitFeature(NonlinearFit.BazinModel,
-      algorithm = graft.ref.FitAlgorithm.McmcLmsder))
+      algorithm = graft.ref.FitAlgorithm.Lmsder))
     val withLm = withTr.withColumn("flm",
       SeriesFeatures.extract(lmFeats)(col("p")))
       .withColumn("lm_bazin_fit_reduced_chi2", col("flm").getItem(5))
@@ -306,15 +308,17 @@ object SpectralQueries {
         graft.ref.LightCurve(ts(i).toArray, ms(i).toArray, ws(i).toArray))
       graft.ref.MultiColorPeriodogram.eval(lcs.toSeq, peaks = 2, params = params)
     })
-    val perBand = s.read.parquet(s"$dir/events.parquet").select(
-        col("user_id"),
-        col("event_type").as("band"),
-        (unix_micros(col("ts").cast("timestamp")) / 1000000.0 - TBase).as("t"),
-        col("value").as("m"), lit(1.0).as("w"), col("event_id").as("idx"))
-      .groupBy(col("user_id"), col("band"))
-      .agg(SeriesFeatures.collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"),
-        count(lit(1)).as("n"))
-      .filter(col("n") >= 4)
+    val ptsB = s.read.parquet(s"$dir/events.parquet").select(
+      col("user_id"),
+      col("event_type").as("band"),
+      (unix_micros(col("ts").cast("timestamp")) / 1000000.0 - TBase).as("t"),
+      col("value").as("m"), lit(1.0).as("w"), col("event_id").as("idx"))
+    // per-(series, band) bounded collect — a hot series must not OOM
+    // the two-level aggregation (same MaxSeriesPoints contract as the
+    // single-band spectral queries)
+    val perBand = SeriesFeatures
+      .boundedCollect(ptsB, Seq("user_id", "band"), MaxSeriesPoints)
+      .filter(col("n_obs") >= 4)
     perBand
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("band"), col("p")))).as("bp"))

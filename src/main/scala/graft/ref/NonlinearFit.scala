@@ -549,7 +549,11 @@ object NonlinearFit {
       val fitted = opt.optimize(problem).getPoint.toArray
       if (fitted.forall(java.lang.Double.isFinite)) fitted else x0
     } catch {
-      case _: org.apache.commons.math3.exception.MathRuntimeException => x0
+      // commons-math LM failures (TooManyEvaluations, Convergence
+      // "singular problem", SingularMatrix) extend
+      // MathIllegalState/ArgumentException, i.e. plain
+      // IllegalState/IllegalArgumentException — NOT MathRuntimeException
+      case scala.util.control.NonFatal(_) => x0
     }
   }
 }

@@ -16,14 +16,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * needs custom state: one (canonical_id, seen) pair per content hash
  * via flatMapGroupsWithState, GC'd by event-time timeout.
  *
- * Late-data policy matches the batch operator within the watermark
- * horizon: all arrivals for a hash are processed in event-time order
- * inside each batch, so the canonical pick converges to the batch
- * `min(ts, doc_id)` as long as contenders land within one horizon.
- * State released by timeout means a duplicate arriving AFTER the
- * horizon re-registers as new — the standard watermark-bounded dedup
- * contract (identical to `dropDuplicates` + watermark); the periodic
- * batch rebuild is the completeness path, as with the rollup.
+ * Canonical-election contract (append mode cannot retract an emitted
+ * annotation, so this is inherent to ANY streaming dedup, including
+ * `dropDuplicates`): the canonical is the first PROCESSED arrival —
+ * micro-batch order first, then event-time order within a batch. A
+ * later micro-batch delivering an earlier-event-time contender is
+ * annotated as a duplicate of the already-elected canonical; only
+ * arrivals landing in the same micro-batch re-order by event time. A
+ * duplicate arriving after the state horizon re-registers as new (the
+ * standard watermark-bounded dedup contract). The batch operator
+ * (`q_docs_exact_dedup`, min-id election over the full table) is the
+ * convergence path: the periodic batch rebuild reconciles both
+ * cross-batch election order and post-horizon repeats, exactly as the
+ * rollup's lambda split does for late turns.
  */
 object StreamingDedup {
 
