@@ -620,13 +620,18 @@ object EventQueries {
     def fl(x: String) = s"CAST($x AS FLOAT)"
     def fsum(l: String) =
       s"list_reduce(list_prepend(${fl("0.0")}, $l), (a, x) -> a + x)"
-    // f32 division mirroring JVM IEEE semantics: DuckDB FLOAT x/0
-    // yields NULL, so route the zero-denominator case through DOUBLE
-    // division (exact +-Inf/NaN with sign) and narrow — for nonzero
-    // denominators the plain FLOAT division is the bit-exact mirror
+    // f32 division mirroring JVM IEEE semantics: DuckDB division by
+    // zero yields NULL (for DOUBLE too), so the zero-denominator case
+    // constructs the IEEE result explicitly — NaN for 0/0, signed
+    // infinity otherwise (sign = numerator sign XOR denominator zero
+    // sign via signbit). Nonzero denominators take the plain FLOAT
+    // division, the bit-exact mirror.
     def fdiv(a: String, b: String) =
-      s"(CASE WHEN ($b) = 0.0 THEN CAST(CAST(($a) AS DOUBLE) " +
-        s"/ CAST(($b) AS DOUBLE) AS FLOAT) ELSE ($a) / ($b) END)"
+      s"(CASE WHEN ($b) = 0.0 THEN " +
+        s"(CASE WHEN ($a) = 0.0 THEN ${fl("'nan'")} " +
+        s"WHEN ((($a) > 0.0) <> signbit($b)) THEN ${fl("'infinity'")} " +
+        s"ELSE ${fl("'-infinity'")} END) " +
+        s"ELSE ($a) / ($b) END)"
     s"""WITH RECURSIVE p AS ($PTS),
        | g AS (SELECT user_id, count(*) AS n,
        |        list(CAST(m AS FLOAT) ORDER BY t, idx) AS mf,
