@@ -242,14 +242,42 @@ object Dedup {
    * and closed with a driver-side union-find instead of paying
    * O(log diameter) more Spark rounds of fixed job cost. This is the
    * standard bounded tail fallback (a la GraphFrames/GraphX local
-   * aggregation): memory is capped at ~16 bytes x threshold by
-   * construction, and the star rounds have already contracted any
-   * corpus-sized clique structure before the frontier can shrink
-   * under a sane threshold. Disabled (0) by default so the pure
-   * distributed path stays the tested contract.
+   * aggregation): driver memory is bounded by the threshold — boxed
+   * edge tuples plus a HashMap of boxed Longs, ~50-100 bytes per
+   * collected edge (so a 2^20 threshold is a ~100 MB transient) —
+   * and the star rounds have already contracted any corpus-sized
+   * clique structure before the frontier can shrink under a sane
+   * threshold. Disabled (0) by default so the pure distributed path
+   * stays the tested contract.
    */
   def duplicateClusters(ids: DataFrame, pairs: DataFrame,
-      maxIters: Int = 50, localFinishEdges: Int = 0): DataFrame = {
+      maxIters: Int = 50, localFinishEdges: Int = 0): DataFrame =
+    duplicateClustersResult(ids, pairs, maxIters, localFinishEdges).labels
+
+  /** [[duplicateClusters]] result with observability + lifecycle:
+    * `starRounds` counts the distributed large-star/small-star rounds
+    * actually executed (0 means the bounded local tail closed the
+    * whole frontier), and `cleanup()` unpersists the final
+    * checkpointed star edges — call it only AFTER `labels` has been
+    * fully materialized (written / collected), since `labels` is a
+    * lazy join against that checkpoint. */
+  final case class ClusterResult(labels: DataFrame, starRounds: Int,
+      cleanup: () => Unit)
+
+  /** RDD-level unpersist of a `localCheckpoint`ed Dataset: the persist
+    * lives on the internal checkpointed RDD (a `LogicalRDD` leaf), not
+    * in the SQL cache, so `Dataset.unpersist` alone does not free it. */
+  private def unpersistCheckpoint(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
+  def duplicateClustersResult(ids: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50, localFinishEdges: Int = 0): ClusterResult = {
     // canonical directed edges: larger id -> smaller id, deduplicated
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
@@ -271,6 +299,7 @@ object Dedup {
     var sig = signature(edges)
     var converged = sig._1 == 0L
     var it = 0
+    var starRounds = 0
     var prev: DataFrame = null
 
     /** Close a bounded frontier on the driver: union-find with path
@@ -307,7 +336,7 @@ object Dedup {
     while (!converged && it < maxIters) {
       if (localFinishEdges > 0 && sig._1 <= localFinishEdges) {
         val finished = localFinish(edges)
-        if (prev != null) prev.unpersist(blocking = false)
+        if (prev != null) unpersistCheckpoint(prev)
         prev = edges
         edges = finished
         converged = true
@@ -333,10 +362,11 @@ object Dedup {
         .localCheckpoint()
       val nextSig = signature(next)
       converged = nextSig == sig
-      if (prev != null) prev.unpersist(blocking = false)
+      if (prev != null) unpersistCheckpoint(prev)
       prev = edges
       edges = next
       sig = nextSig
+      starRounds += 1
       }
       it += 1
     }
@@ -345,11 +375,13 @@ object Dedup {
         s"duplicateClusters: star contraction did not converge within " +
           s"$maxIters rounds (${sig._1} edges live) — refusing to return " +
           "partially-merged cluster labels")
-    if (prev != null) prev.unpersist(blocking = false)
+    if (prev != null) unpersistCheckpoint(prev)
     // at fixpoint the edges are disjoint (member -> component-min) stars
-    ids.select(col("id"))
-      .join(edges.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
+    val finalEdges = edges
+    val labels = ids.select(col("id"))
+      .join(finalEdges.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
+    ClusterResult(labels, starRounds, () => unpersistCheckpoint(finalEdges))
   }
 
   // ---------------- SimHash ----------------

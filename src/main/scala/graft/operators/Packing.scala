@@ -35,16 +35,24 @@ object Packing {
 
   /** Assign each doc its stream offset and packed-example bin.
     *
-    * @param docs       input with `idCol` (unique long, stream order),
-    *                   `groupCol` (pack stream key) and `tokensCol`
+    * @param docs       input with `idCol` (unique NON-NEGATIVE long,
+    *                   stream order), `groupCol` (pack stream key) and
+    *                   `tokensCol`
     * @param budget     tokens per packed training example
     * @param chunkSize  rows per bounded prefix-sum chunk
+    *
+    * The chunk key uses integer division (`div`), not double division
+    * + truncation: doubles lose integer precision past 2^53, which
+    * would mis-chunk huge ids and break the monotone id→chunk
+    * assumption the hierarchical prefix sum rests on. Ids must be
+    * non-negative (truncation-toward-zero would merge the -0 and 0
+    * chunks out of order).
     */
   def pack(docs: DataFrame, idCol: Column, groupCol: Column,
       tokensCol: Column, budget: Long, chunkSize: Long = 1 << 20): DataFrame = {
-    val base = docs.select(idCol.as("_id"), groupCol.as("_grp"),
+    val base = docs.select(idCol.cast("long").as("_id"), groupCol.as("_grp"),
       tokensCol.cast("long").as("_tok"))
-      .withColumn("_chunk", (col("_id") / chunkSize).cast("long"))
+      .withColumn("_chunk", expr(s"_id div ${chunkSize}L"))
     val wLocal = Window.partitionBy(col("_grp"), col("_chunk"))
       .orderBy(col("_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -60,6 +68,6 @@ object Packing {
       .select(col("_id").as("id"), col("_grp").as("group"),
         col("_tok").as("n_tokens"),
         (col("_chunk_off") + col("_cum") - col("_tok")).as("start_offset"))
-      .withColumn("bin", (col("start_offset") / budget).cast("long"))
+      .withColumn("bin", expr(s"start_offset div ${budget}L"))
   }
 }

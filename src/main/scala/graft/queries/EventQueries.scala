@@ -493,7 +493,12 @@ object EventQueries {
        |         (sarr[i + 1] - mu) / sd * (1.0 / sqrt(2.0)) AS x, i
        |        FROM (SELECT user_id, n, mu, sd, sarr,
        |               unnest(range(0, CAST(n AS BIGINT))) AS i FROM g4)),
-       | qin AS (SELECT row_number() OVER () AS rid, * FROM (
+       | -- rid must be a DETERMINISTIC function of the row identity:
+       | -- an argless row_number() OVER () relies on DuckDB
+       | -- materializing this multi-referenced CTE exactly once — if it
+       | -- were inlined, each instantiation could enumerate rows in a
+       | -- different parallel order and the five rid joins would mis-pair
+       | qin AS (SELECT row_number() OVER (ORDER BY kind, user_id, i) AS rid, * FROM (
        |    SELECT 'el' AS kind, user_id, i, CAST(0.5 AS DOUBLE) AS a,
        |           x * x AS y
        |    FROM el WHERE x * x >= $smallCut AND abs(x) <= 40.0

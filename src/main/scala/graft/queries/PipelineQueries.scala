@@ -224,20 +224,40 @@ object PipelineQueries {
     * cluster_id` is the drop-list. Distributed min-label propagation
     * ([[Dedup.duplicateClusters]]); oracled by a DuckDB recursive-CTE
     * transitive closure over the SAME pair stream. */
-  private def qDupClusters(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private def dupClusterLabels(s: SparkSession, dir: String,
+      localFinishEdges: Int): DataFrame = {
     val base = docs(s, dir).select(col("doc_id").as("id"),
       Dedup.wordShingles(col("text"), 2).as("shingles"))
     val edges = Dedup.minHashLshPairs(base, k = 16, bands = 4)
       .filter(round(col("jaccard"), 6) >= 0.5)
       .select(col("id_a"), col("id_b"))
-    Dedup.duplicateClusters(base.select(col("id")), edges,
-        localFinishEdges = 1 << 20)
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    val labeled = Dedup.duplicateClusters(base.select(col("id")), edges,
+      localFinishEdges = localFinishEdges)
+    // cluster_size via groupBy + re-join, NOT count().over(Window
+    // .partitionBy(cluster_id)): a million-member duplicate cluster —
+    // the normal case dedup exists for — would sort inside ONE task at
+    // the output stage. The aggregate combines map-side and the join
+    // streams the group (same shape as qExactDedup's rep election).
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster_id"))
       .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
   }
+
+  /** Primary dup-clusters battery entry: localFinishEdges = 0, so the
+    * oracle certifies the DISTRIBUTED large-star/small-star contraction
+    * — the path that runs at 100 TB (the round-3 battery only ever
+    * exercised the driver union-find tail). */
+  private def qDupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClusterLabels(s, dir, localFinishEdges = 0)
+
+  /** Companion entry for the bounded driver union-find tail: a
+    * threshold above the test corpus's live edge count routes the whole
+    * frontier through `localFinish`, so BOTH halves of the operator
+    * stay oracle-covered (identical labels, same oracle SQL). */
+  private def qDupClustersLocal(s: SparkSession, dir: String): DataFrame =
+    dupClusterLabels(s, dir, localFinishEdges = 1 << 20)
 
   private lazy val sqlDupClusters: String = {
     // the full minhash-LSH pair stream (sqlMinHashLsh) as a CTE, then
@@ -834,6 +854,7 @@ object PipelineQueries {
     "q_docs_minhash_overflow" -> qMinHashOverflow _,
     "q_docs_simhash" -> qSimHash _,
     "q_docs_dup_clusters" -> qDupClusters _,
+    "q_docs_dup_clusters_local" -> qDupClustersLocal _,
     "q_docs_langid" -> qLangId _,
     "q_embed_topk" -> qEmbedTopK _,
     "q_embed_ann_lsh" -> qEmbedAnnLsh _,
@@ -854,6 +875,7 @@ object PipelineQueries {
     "q_docs_minhash_lsh" -> sqlMinHashLsh,
     "q_docs_minhash_overflow" -> sqlMinHashOverflow,
     "q_docs_dup_clusters" -> sqlDupClusters,
+    "q_docs_dup_clusters_local" -> sqlDupClusters,
     "q_docs_langid" -> sqlLangId,
     "q_embed_topk" -> sqlEmbedTopK,
     "q_embed_ann_lsh" -> sqlEmbedAnnLsh,

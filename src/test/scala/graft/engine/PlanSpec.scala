@@ -133,6 +133,17 @@ class PlanSpec extends AnyFunSuite {
       s"window funnel in exact dedup:\n$dedupPlan")
   }
 
+  test("dup-clusters output stage: cluster_size is an aggregate, no Window over cluster_id") {
+    // the cluster-size annotation must be groupBy + re-join — a
+    // count().over(Window.partitionBy(cluster_id)) would sort a
+    // million-member duplicate cluster inside ONE task at the output
+    // stage of the very operator built to avoid that shape
+    val df = graft.SparkEntry.queries("q_docs_dup_clusters")(spark, "/root/testdata/sf0.001")
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Window"),
+      s"window funnel in the dup-clusters output stage:\n$plan")
+  }
+
   test("decontamination broadcasts the eval gram set; corpus is never shuffled by gram") {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

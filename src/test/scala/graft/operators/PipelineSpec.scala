@@ -127,6 +127,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(hybrid(2999L) == 2995L && hybrid(1500L) == 0L)
   }
 
+  test("battery corpus runs >= 1 distributed star round and cleanup frees the checkpoint") {
+    import graft.operators.Dedup
+    // the same corpus + pair stream the driver battery clusters, with
+    // local finish disabled: the oracle-green q_docs_dup_clusters path
+    // must demonstrably execute the distributed large-star/small-star
+    // contraction, not just the driver union-find tail
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), Dedup.wordShingles(col("text"), 2).as("shingles"))
+    val edges = Dedup.minHashLshPairs(docs, k = 16, bands = 4)
+      .filter(round(col("jaccard"), 6) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = Dedup.duplicateClustersResult(docs.select(col("id")), edges,
+      localFinishEdges = 0)
+    assert(res.starRounds > 0,
+      "battery-scale clustering must execute at least one distributed star round")
+    assert(res.labels.count() > 0)
+    res.cleanup()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"clustering left persistent RDDs behind: $leaked")
+  }
+
   test("duplicate clustering: non-convergence throws instead of returning split labels") {
     import spark.implicits._
     val n = 512
