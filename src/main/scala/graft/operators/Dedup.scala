@@ -140,11 +140,23 @@ object Dedup {
    *     pairs back to the shingle table — two id-keyed shuffles of a
    *     few matched rows instead of shipping every shingle set through
    *     every bucket.
+   *
+   * Empty shingle sets — documents shorter than the shingle order
+   * (e.g. single-token docs under word 2-grams) — are EXCLUDED from
+   * pair generation: they all collapse to the same all-MaxValue
+   * signature, so treating them as pairs would declare every short
+   * document a mutual duplicate and the downstream drop-list
+   * (`id != cluster_id`) would silently delete all but one of them.
+   * MinHash carries no signal for them; they pass through unpaired
+   * (and un-dropped). The J(empty,empty)=1 convention in [[jaccard]]
+   * remains for direct column use only.
    */
   def minHashLshPairs(df: DataFrame, k: Int = 16, bands: Int = 4,
       seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
     val (sig, _) = minHashCols(col("shingles"), k, bands, seed)
-    val withSig = df.select(col("id"), col("shingles")).withColumn("sig", sig)
+    val withSig = df.select(col("id"), col("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", sig)
     // 1. signature-duplicate groups -> min-id rep + linear star pairs.
     //    groupBy+join, NOT min().over(Window.partitionBy(sig)): window
     //    aggregation has no map-side partial, so a million-identical-
@@ -201,7 +213,9 @@ object Dedup {
   def minHashBucketOverflow(df: DataFrame, k: Int = 16, bands: Int = 4,
       seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
     val (sig, _) = minHashCols(col("shingles"), k, bands, seed)
-    df.select(col("id"), col("shingles")).withColumn("sig", sig)
+    df.select(col("id"), col("shingles"))
+      .filter(size(col("shingles")) > 0) // mirrors minHashLshPairs
+      .withColumn("sig", sig)
       .groupBy(col("sig")).agg(min(col("id")).as("id"))
       .withColumn("bands", bandArr2(bands)(col("sig")))
       .select(posexplode(col("bands")).as(Seq("band", "bucket")))

@@ -218,19 +218,27 @@ object Similarity {
    * neighbor is a candidate if it collides in ANY table, recall
    * 1-(1-p^planes)^tables). One shuffle on the (table, bucket) key;
    * per-bucket candidate sets are ~n / 2^planes. `planes <= 0` derives
-   * the plane count from the corpus size via [[autoPlanes]].
+   * the plane count from the corpus size via [[autoPlanes]] — the
+   * count rides INSIDE the plan as a broadcast scalar (a 1-row
+   * aggregate cross-joined onto the corpus), not a separate
+   * `df.count()` action, so the whole query is one job.
    */
   def lshTopK(df: DataFrame, planes: Int, k: Int, tables: Int = 4,
       seed: Long = 7L): DataFrame = {
-    val nPlanes = if (planes > 0) planes else autoPlanes(df.count())
-    val sigsU = udf((v: Seq[Double]) =>
-      Array.tabulate(tables)(tb => hyperplaneSignature(v, nPlanes, seed + 1000L * tb)))
+    val sigsU = udf((v: Seq[Double], nRows: Long) => {
+      val nPlanes = if (planes > 0) planes else autoPlanes(nRows)
+      Array.tabulate(tables)(tb => hyperplaneSignature(v, nPlanes, seed + 1000L * tb))
+    })
     val base = df.select(col("id"), asDouble(col("vec")).as("v"))
       .withColumn("n2", norm(col("v")))
-    // the bucket self-join ships (table, bucket, id) only — vectors
-    // are fetched by id for the matched candidate set
-    val withSig = base.select(col("id"),
-      posexplode(sigsU(col("v"))).as(Seq("table", "bucket")))
+    // auto mode: the 1-row corpus count broadcasts onto every row (a
+    // column-pruned aggregate scan inside the same DAG); literal mode
+    // skips it entirely
+    val tagged =
+      if (planes > 0) base.withColumn("_n", lit(0L))
+      else base.crossJoin(broadcast(df.select(count(lit(1)).as("_n"))))
+    val withSig = tagged.select(col("id"),
+      posexplode(sigsU(col("v"), col("_n"))).as(Seq("table", "bucket")))
     val a = withSig.select(col("table"), col("bucket"), col("id").as("query_id"))
     val b = withSig.select(col("table"), col("bucket"), col("id").as("cand_id"))
     fetchScoreRank(a.join(b, Seq("table", "bucket")), base, k, df.sparkSession)

@@ -313,8 +313,10 @@ object PipelineQueries {
 
   /** Shared CTE prefix of the MinHash oracles: shingles -> FNV+mix64
     * shingle hashes -> 16 permutation streams -> unsigned-min
-    * signatures (empty sets = all Long.MaxValue), ending with
-    * `sige(id, sig)`. */
+    * signatures, ending with `sige(id, sig)`. Empty shingle sets never
+    * reach `sige` (mirrors minHashLshPairs' size(shingles)>0 filter —
+    * short docs carry no minhash signal and must not be declared
+    * mutual duplicates). */
   private def sqlMinHashSigCtes: String = {
     import DuckMacros._
     val Golden = "-7046029254386353131" // 0x9e3779b97f4a7c15 as signed
@@ -342,10 +344,9 @@ object PipelineQueries {
        | pv AS (SELECT * FROM $pv),
        | sigv AS (SELECT id, i, ${minU64("v")} AS sv FROM pv GROUP BY id, i),
        | sigl AS (SELECT id, list(sv ORDER BY i) AS sig FROM sigv GROUP BY id),
-       | -- empty shingle sets: signature is all Long.MaxValue (no perm value)
-       | sige AS (SELECT g.id, coalesce(s.sig,
-       |            list_transform(range(0, 16), x -> 9223372036854775807)) AS sig
-       |          FROM g LEFT JOIN sigl s ON g.id = s.id)""".stripMargin
+       | -- empty shingle sets have no postings, hence no signature row:
+       | -- they are excluded from pairing (mirrors the engine's filter)
+       | sige AS (SELECT id, sig FROM sigl)""".stripMargin
   }
 
   /** Band-hash fold over a `reps(id, sig)` CTE: acc0 = golden*(band+1);

@@ -118,6 +118,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-planes LSH is lazy: the corpus count rides the plan, no eager count job") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val jobs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      vecs.schema // force the (job-submitting) parquet file listing first
+      Thread.sleep(500)
+      val before = jobs.get()
+      val df = Similarity.lshTopK(vecs, planes = -1, k = 3, tables = 2)
+      Thread.sleep(500) // let any eagerly-submitted job surface
+      assert(jobs.get() == before,
+        s"lshTopK(planes<=0) submitted ${jobs.get() - before} job(s) during CONSTRUCTION — " +
+          "the auto plane count must ride inside the plan, not a df.count() action")
+      assert(df.count() > 0) // and the one-DAG query still answers
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("dedup rep election is map-side partial aggregation, no Window over the dup key") {
     import graft.operators.Dedup
     val docs = spark.range(50).select(col("id"),

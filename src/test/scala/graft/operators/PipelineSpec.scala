@@ -161,16 +161,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
-  test("jaccard of two empty shingle sets is 1 (and clusters them together)") {
+  test("empty-shingle (short) docs are excluded from LSH pairing, not declared duplicates") {
     import spark.implicits._
-    // single-token docs shingle to empty sets -> identical signatures
-    val df = Seq((1L, "x"), (2L, "y"), (3L, "alpha beta gamma delta"))
+    // single-token docs shingle to empty sets and share the all-max
+    // signature; pairing them would mark every short doc a duplicate
+    // of the min-id one and the drop-list would silently delete them
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "alpha beta gamma delta"),
+        (4L, "alpha beta gamma delta"))
       .toDF("id", "text")
       .withColumn("shingles", Dedup.wordShingles(col("text"), 2))
     val pairs = Dedup.minHashLshPairs(df, k = 16, bands = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
-    assert(pairs.toSeq == Seq((1L, 2L, 1.0)),
-      s"empty-shingle docs must pair with J=1, got ${pairs.toSeq}")
+    assert(pairs.toSeq == Seq((3L, 4L, 1.0)),
+      s"only the real duplicate pair must surface, got ${pairs.toSeq}")
+    // the J(empty,empty)=1 column convention itself is unchanged
+    // (engine-agreement guard for direct use of the jaccard column)
+    val j = df.filter(col("id") <= 2).select(col("id"), col("shingles"))
+      .crossJoin(df.filter(col("id") === 2).select(col("shingles").as("b")))
+      .filter(col("id") === 1)
+      .select(Dedup.jaccard(col("shingles"), col("b"))).head().getDouble(0)
+    assert(j == 1.0)
   }
 
   test("minhash signatures are deterministic and permutation-count-sized") {
