@@ -189,7 +189,10 @@ object TranscriptQueries {
     * summary row per (conv, session) split at >1-day silences. */
   private def qSessions(s: SparkSession, dir: String): DataFrame = {
     val withIdx = Transcripts.series(Transcripts.fromEvents(s, dir))
-    graft.engine.Sessionize.sessions(withIdx, gapSeconds = 86400.0)
+    // chunkSize well below the per-conversation turn count, so the
+    // battery actually exercises the hierarchical chunk merge
+    graft.engine.Sessionize.sessions(withIdx, gapSeconds = 86400.0,
+        chunkSize = 64L)
       .select(col("conv_id"), col("session_idx"), col("n_turns"),
         r(col("t_start")).as("t_start"), r(col("t_end")).as("t_end"),
         r(col("duration")).as("duration"), r(col("sum_m")).as("sum_m"))

@@ -452,6 +452,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.engine.Sessionize.sessions(edge, 1800.0).count() == 1)
   }
 
+  test("sessionize chunked prefix equals the single-window form at any chunk size") {
+    import spark.implicits._
+    // irregular cadence with gaps straddling chunk boundaries
+    val rng = new scala.util.Random(99)
+    var t = 0.0
+    val turns = (0 until 500).map { i =>
+      t += (if (rng.nextDouble() < 0.07) 4000.0 else rng.nextDouble() * 100)
+      (s"c${i % 3}", i / 3, t, rng.nextInt(50).toDouble)
+    }.toDF("conv_id", "turn_idx", "t", "m")
+    val reference = graft.engine.Sessionize
+      .sessions(turns, gapSeconds = 1800.0, chunkSize = Long.MaxValue)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (chunk <- Seq(1L, 7L, 64L, 1L << 16)) {
+      val got = graft.engine.Sessionize.sessions(turns, 1800.0, chunkSize = chunk)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == reference, s"chunkSize=$chunk diverged")
+    }
+  }
+
+  test("sessionize handles a million-turn conversation with bounded window tasks") {
+    // one adversarially long conversation; every corpus window task is
+    // bounded by chunkSize rows by construction — the whole conv never
+    // buffers in a single window task
+    val turns = spark.range(1000000L).select(
+      lit("mega").as("conv_id"), col("id").cast("int").as("turn_idx"),
+      // a >gap silence every 100k turns -> 10 sessions
+      (col("id") * 10.0 + (col("id") / 100000L).cast("long") * 10000.0).as("t"),
+      lit(1.0).as("m"))
+    val out = graft.engine.Sessionize
+      .sessions(turns, gapSeconds = 5000.0, chunkSize = 1L << 14)
+      .orderBy(col("session_idx"))
+      .collect()
+    assert(out.length == 10, s"expected 10 sessions, got ${out.length}")
+    assert(out.map(_.getLong(2)).sum == 1000000L)
+  }
+
+  test("sessionize plan: every corpus window is chunk-bounded (no whole-conversation window)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val turns = s2.range(100).select(lit("c0").as("conv_id"),
+      col("id").cast("int").as("turn_idx"), (col("id") * 10.0).as("t"),
+      lit(1.0).as("m"))
+    val df = graft.engine.Sessionize.assign(turns, 1800.0, chunkSize = 10L)
+    val windows = df.queryExecution.executedPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      // per-row windows must carry the chunk key; the only conv-keyed
+      // windows run over the tiny one-row-per-chunk roll-up tables
+      val chunkBounded = keys.contains("_chunk")
+      val isChunkRollup = w.child.output.map(_.name)
+        .exists(n => n == "_last_t" || n == "_chunk_gaps")
+      assert(chunkBounded || isChunkRollup,
+        s"whole-conversation window over $keys:\n$w")
+    }
+  }
+
   test("language ID mechanism: separable corpora classify correctly") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
