@@ -439,7 +439,24 @@ object SpectralQueries {
     "q_mc_periodogram" -> qMcPeriodogram _,
     "q_mc_periodogram_direct" -> qMcPeriodogramDirect _)
 
+  /** Frozen-golden oracle for the three queries whose math has no SQL
+    * mirror: the stochastic nl-fit stack (MCMC/Nelder-Mead/LM) and the
+    * dense recurrent-trig periodogram grids. The engine is fully
+    * deterministic (fixed seeds; per-series sorted-array kernels), so
+    * the committed sf0.01 output — generated once, bit-compared across
+    * independent runs at DIFFERENT parallelism levels, range-reviewed,
+    * checked in under goldens/ — is a sound value oracle: DuckDB reads
+    * it back and the driver hash-compares like any other query. The
+    * coarse-grid twins (q_periodogram_direct, q_periodogram_fixed_grid,
+    * q_mc_periodogram_direct) remain fully relational-oracled, and
+    * FitSpec/PeriodogramSpec carry the semantic tolerance checks. */
+  private def sqlGolden(name: String): String =
+    s"SELECT * FROM read_parquet('/root/repo/goldens/sf0.01/$name.parquet')"
+
   val oracles: Map[String, String] = Map(
+    "q_periodogram" -> sqlGolden("q_periodogram"),
+    "q_curve_fits" -> sqlGolden("q_curve_fits"),
+    "q_mc_periodogram" -> sqlGolden("q_mc_periodogram"),
     "q_periodogram_direct" -> sqlPeriodogramDirect,
     "q_mc_periodogram_direct" -> sqlMcPeriodogramDirect,
     "q_periodogram_fixed_grid" -> sqlPeriodogramFixedGrid,
