@@ -586,6 +586,101 @@ object EventQueries {
        |ORDER BY g.user_id""".stripMargin
   }
 
+  /** The f32 flavor of the quantile-kernel battery
+    * ([[graft.ref.FeaturesF32.evalQuantiles]]): Median / IPR / MAD /
+    * PercentAmplitude / MBRP / PDMP / MagnitudePercentageRatio with
+    * every sort, ppf interpolation and division in single precision —
+    * closing the float-trait parity gap for the quantile kernels
+    * (/root/reference/src/float_trait.rs:30-120,
+    * sorted_array.rs:50-70). */
+  private def qQuantilesF32(s: SparkSession, dir: String): DataFrame = {
+    val names = Seq("median_f32", "inter_percentile_range_f32",
+      "median_absolute_deviation_f32", "percent_amplitude_f32",
+      "median_buffer_range_percentage_f32",
+      "percent_difference_magnitude_percentile_f32",
+      "magnitude_percentage_ratio_f32")
+    val evalU = udf((ms: Seq[Double]) =>
+      graft.ref.FeaturesF32.evalQuantiles(ms.iterator.map(_.toFloat).toArray))
+    val base = SeriesFeatures.boundedCollect(pts(s, dir), "user_id", 100000)
+      .withColumn("mn", array_min(col("p").getField("m")))
+      .withColumn("mx", array_max(col("p").getField("m")))
+      .filter(col("n_obs") >= 2 && col("mn") < col("mx"))
+      .withColumn("f", evalU(col("p").getField("m")))
+    names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
+      d.withColumn(n, r(col("f").getItem(i)))
+    }.select((col("user_id") +: names.map(col)): _*).orderBy(col("user_id"))
+  }
+
+  /** FLOAT-typed DuckDB mirror of the f32 quantile battery. The R-5
+    * ppf replays the reference's f32 form exactly: `h = nf·q − 0.5f`
+    * with nf and q FLOAT, floor cast back to FLOAT, interpolation in
+    * FLOAT. Quantile complements are written `1.0f − q` (a FLOAT
+    * subtraction, NOT a decimal literal like 0.95 whose nearest f32
+    * may differ by one ulp). Divisions use the IEEE-mirror CASE from
+    * the simple-stats f32 oracle; the two both-zero ZeroDivision
+    * cases produce NaN on both engines. */
+  private val sqlQuantilesF32: String = {
+    def fl(x: String) = s"CAST($x AS FLOAT)"
+    def fdiv(a: String, b: String) =
+      s"(CASE WHEN ($b) = 0.0 THEN " +
+        s"(CASE WHEN ($a) = 0.0 THEN ${fl("'nan'")} " +
+        s"WHEN ((($a) > 0.0) <> signbit($b)) THEN ${fl("'infinity'")} " +
+        s"ELSE ${fl("'-infinity'")} END) " +
+        s"ELSE ($a) / ($b) END)"
+    // R-5 ppf over the 1-indexed sorted FLOAT list `sf`, all-f32
+    def r5(q: String): String = {
+      val h = s"(nf * ($q) - ${fl("0.5")})"
+      val hf = s"${fl(s"floor($h)")}"
+      val i = s"CAST($hf AS BIGINT)"
+      s"(CASE WHEN $hf < 0.0 THEN sf[1] " +
+        s"WHEN $i >= n - 1 THEN sf[n] " +
+        s"ELSE sf[$i + 1] + ($h - $hf) * (sf[$i + 2] - sf[$i + 1]) END)"
+    }
+    def comp(q: String) = s"(${fl("1.0")} - ${fl(q)})" // 1.0f - q
+    val medSql =
+      s"""CASE WHEN n % 2 = 0
+         | THEN ${fl("0.5")} * (sf[CAST((n - 1) // 2 AS INT) + 1]
+         |                      + sf[CAST((n - 1) // 2 AS INT) + 2])
+         | ELSE sf[CAST((n - 1) // 2 AS INT) + 1] END""".stripMargin
+    s"""WITH p AS ($PTS),
+       | g AS (SELECT user_id, count(*) AS n,
+       |        list(CAST(m AS FLOAT) ORDER BY t, idx) AS mf,
+       |        max(CAST(m AS FLOAT)) AS mxf, min(CAST(m AS FLOAT)) AS mnf
+       |       FROM p GROUP BY 1 HAVING $Guard2),
+       | g0 AS (SELECT *, CAST(n AS FLOAT) AS nf, list_sort(mf) AS sf FROM g),
+       | g1 AS (SELECT *, $medSql AS med FROM g0),
+       | g2 AS (SELECT *,
+       |         list_sort(list_transform(mf, x -> abs(x - med))) AS devf,
+       |         ${r5(comp("0.25"))} - ${r5(fl("0.25"))} AS ipr,
+       |         ${r5(comp("0.05"))} - ${r5(fl("0.05"))} AS pd05,
+       |         ${r5(comp("0.4"))} - ${r5(fl("0.4"))} AS mprnum,
+       |         CAST(len(list_filter(mf, x -> abs(x - med)
+       |             < ${fl("0.1")} * (${fl("0.5")} * (mxf - mnf)))) AS FLOAT)
+       |           / nf AS mbrp
+       |        FROM g1),
+       | g3 AS (SELECT *,
+       |         CASE WHEN n % 2 = 0
+       |          THEN ${fl("0.5")} * (devf[CAST((n - 1) // 2 AS INT) + 1]
+       |                               + devf[CAST((n - 1) // 2 AS INT) + 2])
+       |          ELSE devf[CAST((n - 1) // 2 AS INT) + 1] END AS mad,
+       |         CASE WHEN mxf - med > med - mnf
+       |          THEN mxf - med ELSE med - mnf END AS pa,
+       |         CASE WHEN pd05 = 0.0 AND med = 0.0 THEN ${fl("'nan'")}
+       |          ELSE ${fdiv("pd05", "med")} END AS pdmp,
+       |         CASE WHEN mprnum = 0.0 AND pd05 = 0.0 THEN ${fl("'nan'")}
+       |          ELSE ${fdiv("mprnum", "pd05")} END AS mpr
+       |        FROM g2)
+       |SELECT user_id,
+       | round(med + $JitterSql, $R) + 0 AS median_f32,
+       | round(ipr + $JitterSql, $R) + 0 AS inter_percentile_range_f32,
+       | round(mad + $JitterSql, $R) + 0 AS median_absolute_deviation_f32,
+       | round(pa + $JitterSql, $R) + 0 AS percent_amplitude_f32,
+       | round(mbrp + $JitterSql, $R) + 0 AS median_buffer_range_percentage_f32,
+       | round(pdmp + $JitterSql, $R) + 0 AS percent_difference_magnitude_percentile_f32,
+       | round(mpr + $JitterSql, $R) + 0 AS magnitude_percentage_ratio_f32
+       |FROM g3 ORDER BY user_id""".stripMargin
+  }
+
   /** The f32 flavor of the simple-kernel battery
     * ([[graft.ref.FeaturesF32]]): the stored f64 columns are narrowed
     * to f32 at the series boundary and every kernel accumulation runs
@@ -991,6 +1086,7 @@ object EventQueries {
     "q_stetson_roms" -> qStetsonRoms _,
     "q_special_kernels" -> qSpecial _,
     "q_simple_stats_f32" -> qSimpleStatsF32 _,
+    "q_quantiles_f32" -> qQuantilesF32 _,
     "q_otsu_biweight" -> qOtsuBiweight _,
     "q_tier_1m" -> qTier1m _,
     "q_tier_cascade_1h" -> qTierCascade1h _,
@@ -1018,5 +1114,6 @@ object EventQueries {
     "q_bins_features" -> sqlBinsFeatures,
     "q_otsu_biweight" -> sqlOtsuBiweight,
     "q_special_kernels" -> sqlSpecial,
-    "q_simple_stats_f32" -> sqlSimpleStatsF32)
+    "q_simple_stats_f32" -> sqlSimpleStatsF32,
+    "q_quantiles_f32" -> sqlQuantilesF32)
 }

@@ -131,6 +131,60 @@ object FeaturesF32 {
       3.0f * (n - 1.0f) * (n - 1.0f) / ((n - 2.0f) * (n - 3.0f))
   }
 
+  /** R-5 quantile over a sorted array, all arithmetic in f32 exactly
+    * as the reference's f32 instantiation: `h = len·q − 0.5` is
+    * computed in f32 (sorted_array.rs:50-70 takes `q: f32` and casts
+    * `len as f32`), and the linear interpolation runs in the element
+    * type. */
+  def ppf(sorted: Array[Float], q: Float): Float = {
+    val len = sorted.length
+    require(len > 0, "ppf of empty array")
+    val h = len * q - 0.5f
+    val hFloor = math.floor(h).toFloat
+    if (hFloor < 0.0f) sorted(0)
+    else {
+      val i = hFloor.toInt
+      if (i >= len - 1) sorted(len - 1)
+      else sorted(i) + (h - hFloor) * (sorted(i + 1) - sorted(i))
+    }
+  }
+
+  /** The quantile-kernel battery (q_quantiles_f32), mirroring the f64
+    * evaluators Median / InterPercentileRange(0.25) /
+    * MedianAbsoluteDeviation / PercentAmplitude /
+    * MedianBufferRangePercentage(0.1) /
+    * PercentDifferenceMagnitudePercentile(0.05) /
+    * MagnitudePercentageRatio(0.4, 0.05) with every accumulation in
+    * f32. Quantile complements are computed as `1.0f - q` (not a
+    * rounded decimal literal) so the oracle's FLOAT subtraction lands
+    * on identical bits; the MBRP threshold follows the reference's
+    * `q * (half * (max - min))` order
+    * (median_buffer_range_percentage.rs:117-129). The two flat-series
+    * ZeroDivision cases fill NaN (eval_or_fill convention). */
+  def evalQuantiles(m: Array[Float]): Array[Float] = {
+    val s = m.clone(); java.util.Arrays.sort(s)
+    val n = s.length
+    val med = medianOfSorted(s)
+    val mn = s(0); val mx = s(n - 1)
+    val dev = new Array[Float](n)
+    var i = 0
+    while (i < n) { dev(i) = math.abs(m(i) - med); i += 1 }
+    java.util.Arrays.sort(dev)
+    val mad = medianOfSorted(dev)
+    val ipr = ppf(s, 1.0f - 0.25f) - ppf(s, 0.25f)
+    val pa = math.max(mx - med, med - mn)
+    val thr = 0.1f * (0.5f * (mx - mn))
+    var c = 0
+    i = 0
+    while (i < n) { if (math.abs(m(i) - med) < thr) c += 1; i += 1 }
+    val mbrp = c.toFloat / n
+    val pd05 = ppf(s, 1.0f - 0.05f) - ppf(s, 0.05f)
+    val pdmp = if (pd05 == 0.0f && med == 0.0f) Float.NaN else pd05 / med
+    val mprNum = ppf(s, 1.0f - 0.4f) - ppf(s, 0.4f)
+    val mpr = if (mprNum == 0.0f && pd05 == 0.0f) Float.NaN else mprNum / pd05
+    Array(med, ipr, mad, pa, mbrp, pdmp, mpr)
+  }
+
   /** The battery evaluated by q_simple_stats_f32, in output order. */
   def evalAll(t: Array[Float], m: Array[Float]): Array[Float] = {
     val n = m.length

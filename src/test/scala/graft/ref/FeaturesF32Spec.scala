@@ -35,6 +35,37 @@ class FeaturesF32Spec extends AnyFunSuite {
     assert(m.map(_.toDouble).sum == 16777217.0)
   }
 
+  test("f32 ppf: exact hand cases and reference edge behavior") {
+    val s = Array(1.0f, 2.0f, 3.0f, 4.0f)
+    // h = 4*0.5 - 0.5 = 1.5 -> s[1] + 0.5*(s[2]-s[1]) = 2.5
+    assert(FeaturesF32.ppf(s, 0.5f) == 2.5f)
+    // h < 0 -> minimum; h floor past end -> maximum
+    assert(FeaturesF32.ppf(s, 0.0f) == 1.0f)
+    assert(FeaturesF32.ppf(s, 1.0f) == 4.0f)
+    // h = 4*0.25 - 0.5 = 0.5 -> s[0] + 0.5*(s[1]-s[0]) = 1.5
+    assert(FeaturesF32.ppf(s, 0.25f) == 1.5f)
+  }
+
+  test("f32 quantile battery tracks the f64 evaluators within single-precision tolerance") {
+    for (seed <- 1L to 5L) {
+      val (t, m) = rand(64, seed)
+      val lc = LightCurve(t.map(_.toDouble), m.map(_.toDouble),
+        Array.fill(64)(1.0))
+      val f32 = FeaturesF32.evalQuantiles(m)
+      val f64 = Seq(
+        Features.Median, Features.InterPercentileRange(0.25),
+        Features.MedianAbsoluteDeviation, Features.PercentAmplitude,
+        Features.MedianBufferRangePercentage(0.1),
+        Features.PercentDifferenceMagnitudePercentile(0.05),
+        Features.MagnitudePercentageRatio(0.4, 0.05))
+        .map(_.evalNoCheck(lc)(0))
+      f32.zip(f64).zipWithIndex.foreach { case ((a, b), i) =>
+        val rel = math.abs(a - b) / math.max(math.abs(b), 1e-6)
+        assert(rel < 2e-3, s"quantile kernel $i diverged beyond f32 tolerance: $a vs $b")
+      }
+    }
+  }
+
   test("f32 flavor tracks the f64 flavor within single-precision tolerance") {
     for (seed <- 1L to 5L) {
       val (t, m) = rand(64, seed)
