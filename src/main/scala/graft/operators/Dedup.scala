@@ -150,13 +150,36 @@ object Dedup {
    * MinHash carries no signal for them; they pass through unpaired
    * (and un-dropped). The J(empty,empty)=1 convention in [[jaccard]]
    * remains for direct column use only.
+   *
+   * The narrow `(id, sig)` projection is PERSISTED (memory+disk,
+   * ~id + k longs per doc — a 1-2% sliver of the text corpus): it
+   * feeds three unshared plan branches below, and without
+   * materialization Spark recomputes the expensive shingle+minhash
+   * projection once per branch — measured 2.2 s vs 1.7 s on the sf0.1
+   * battery corpus (MinhashProbe, interleaved). Reclamation is by
+   * Spark's ContextCleaner once the returned plan is dropped; callers
+   * needing a deterministic lifecycle (or an already-stored signature
+   * table) should build the table themselves and call
+   * [[minHashLshPairsFromSignatures]].
    */
   def minHashLshPairs(df: DataFrame, k: Int = 16, bands: Int = 4,
       seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
     val (sig, _) = minHashCols(col("shingles"), k, bands, seed)
     val withSig = df.select(col("id"), col("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", sig)
+      .select(col("id"), sig.as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minHashLshPairsFromSignatures(df, withSig, k, bands, maxBucket)
+  }
+
+  /** The post-signature half of [[minHashLshPairs]], taking the narrow
+    * `(id, sig)` table explicitly so callers can MATERIALIZE it
+    * (persist / checkpoint / a stored signature table): the signature
+    * stream feeds three unshared plan branches below, and without
+    * materialization Spark recomputes the expensive shingle+minhash
+    * projection once per branch. */
+  def minHashLshPairsFromSignatures(df: DataFrame, withSig: DataFrame,
+      k: Int = 16, bands: Int = 4, maxBucket: Int = 4096): DataFrame = {
     // 1. signature-duplicate groups -> min-id rep + linear star pairs.
     //    groupBy+join, NOT min().over(Window.partitionBy(sig)): window
     //    aggregation has no map-side partial, so a million-identical-
@@ -204,8 +227,11 @@ object Dedup {
   }
 
   /** Band-hash UDF over a signature column (shared by the rep path). */
-  private def bandArr2(bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+  def bandArrUdf(bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((sig: Seq[Long]) => bandHashes(sig.toArray, bands))
+
+  private def bandArr2(bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    bandArrUdf(bands)
 
   /** Observability for cap (3) above: (band, bucket, size) of every
     * bucket whose DISTINCT-signature population exceeds `maxBucket` —

@@ -138,6 +138,10 @@ class PipelineSpec extends AnyFunSuite {
     val edges = Dedup.minHashLshPairs(docs, k = 16, bands = 4)
       .filter(round(col("jaccard"), 6) >= 0.5)
       .select(col("id_a"), col("id_b"))
+    // materialize the pair stream first: its signature cache has its
+    // own (documented, ContextCleaner) lifecycle — this test scopes
+    // leak detection to the clustering checkpoints
+    edges.count()
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val res = Dedup.duplicateClustersResult(docs.select(col("id")), edges,
       localFinishEdges = 0)
