@@ -79,13 +79,51 @@ object Pipeline {
     reports.result()
   }
 
-  /** Pack each (conv, day) run of 1m bucket points into one Gorilla
-    * block (bucket indices as the timestamp stream, bin_m values). */
-  def gorillaChunks(t1m: DataFrame): DataFrame = {
+  /** Pack each (conv, block) run of 1m bucket points into one Gorilla
+    * block (bucket indices as the timestamp stream, bin_m values).
+    *
+    * Block-coalescing policy: granularity is chosen PER CONVERSATION
+    * from its point density — conversations averaging fewer than
+    * `coalesceBelowPtsPerDay` points per active-span day coalesce to
+    * conv×week blocks (amortizing the fixed ~25-byte block header);
+    * dense conversations keep day blocks. Deterministic (a pure
+    * function of the conversation's point set; the per-conv density
+    * table is a tiny partial aggregate joined back, AQE broadcasts
+    * it), so rebuild/resume reproduce identical blocks.
+    *
+    * MEASURED OFF BY DEFAULT (GorillaProbe, bench 1m tier, 10.7M
+    * points — table in BASELINE.md): day-only 7.562 B/pt; policy at
+    * 4/8/16/32/64 pts/day 7.561/7.560/7.558/7.558/7.559; week-only
+    * 7.630. Transcript blocks are conversation-span-bounded (most
+    * conversations fit inside one day, so day blocks ≈ conv blocks
+    * already), and every cross-day merge pays TWO 64-bit
+    * delta-of-delta escape codes at the silence gap (~17 bytes),
+    * cancelling the ~25-byte header it saves. The policy stays
+    * available for workloads with genuinely multi-day sparse series
+    * (where the gap is one of many small deltas); this pipeline ships
+    * with it disabled. Output key: (conv_id, day, block_days) with
+    * `day` the block's first day index and block_days 1 or 7.
+    */
+  def gorillaChunks(t1m: DataFrame,
+      coalesceBelowPtsPerDay: Double = 0.0): DataFrame = {
     val pts = col("pts")
-    t1m.groupBy(col("conv_id"), floor(col("bucket") / 1440.0).cast("long").as("day"))
+    val dayOf = expr("bucket div 1440")
+    val blocked =
+      if (coalesceBelowPtsPerDay <= 0) t1m.withColumn("block_days", lit(1L))
+      else {
+        val density = t1m.groupBy(col("conv_id")).agg(
+          (count(lit(1)) /
+            (max(dayOf) - min(dayOf) + lit(1))).as("_pts_per_day"))
+        t1m.join(density, Seq("conv_id"))
+          .withColumn("block_days",
+            when(col("_pts_per_day") < coalesceBelowPtsPerDay, lit(7L))
+              .otherwise(lit(1L)))
+      }
+    blocked
+      .groupBy(col("conv_id"), col("block_days"),
+        (expr("bucket div (block_days * 1440)") * col("block_days")).as("day"))
       .agg(sort_array(collect_list(struct(col("bucket"), col("bin_m")))).as("pts"))
-      .select(col("conv_id"), col("day"),
+      .select(col("conv_id"), col("day"), col("block_days"),
         size(pts).cast("long").as("n_points"),
         Gorilla.encodeCol(pts.getField("bucket"), pts.getField("bin_m")).as("block"))
       .withColumn("block_bytes", length(col("block")).cast("long"))
