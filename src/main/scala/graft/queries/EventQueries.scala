@@ -681,6 +681,80 @@ object EventQueries {
        |FROM g3 ORDER BY user_id""".stripMargin
   }
 
+  /** The f32 flavor of the weighted-kernel battery
+    * ([[graft.ref.FeaturesF32.evalWeighted]]): WeightedMean /
+    * ReducedChi2 / ExcessVariance / StetsonK / Roms with f32
+    * accumulators — the last portable float-trait parity slice
+    * (weights narrowed at the series boundary like t and m). */
+  private def qWeightedF32(s: SparkSession, dir: String): DataFrame = {
+    val names = Seq("weighted_mean_f32", "reduced_chi2_f32",
+      "excess_variance_f32", "stetson_k_f32", "roms_f32")
+    val evalU = udf((ms: Seq[Double], ws: Seq[Double]) =>
+      graft.ref.FeaturesF32.evalWeighted(
+        ms.iterator.map(_.toFloat).toArray, ws.iterator.map(_.toFloat).toArray))
+    val base = SeriesFeatures.boundedCollect(pts(s, dir), "user_id", 100000)
+      .withColumn("mn", array_min(col("p").getField("m")))
+      .withColumn("mx", array_max(col("p").getField("m")))
+      .filter(col("n_obs") >= 2 && col("mn") < col("mx"))
+      .withColumn("f", evalU(col("p").getField("m"), col("p").getField("w")))
+    names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
+      d.withColumn(n, r(col("f").getItem(i)))
+    }.select((col("user_id") +: names.map(col)): _*).orderBy(col("user_id"))
+  }
+
+  /** FLOAT-typed DuckDB mirror of the f32 weighted battery: separate
+    * in-order FLOAT folds per accumulator (the JVM loops carry sw/swm
+    * as independent accumulators), sqrt via the shared
+    * narrowed-double convention, divisions IEEE-mirrored. */
+  private val sqlWeightedF32: String = {
+    def fl(x: String) = s"CAST($x AS FLOAT)"
+    def fsum(l: String) =
+      s"list_reduce(list_prepend(${fl("0.0")}, $l), (a, x) -> a + x)"
+    def fdiv(a: String, b: String) =
+      s"(CASE WHEN ($b) = 0.0 THEN " +
+        s"(CASE WHEN ($a) = 0.0 THEN ${fl("'nan'")} " +
+        s"WHEN ((($a) > 0.0) <> signbit($b)) THEN ${fl("'infinity'")} " +
+        s"ELSE ${fl("'-infinity'")} END) " +
+        s"ELSE ($a) / ($b) END)"
+    def fsqrt(x: String) = fl(s"sqrt(CAST($x AS DOUBLE))")
+    val ks = "range(1, CAST(n AS BIGINT) + 1)"
+    s"""WITH RECURSIVE p AS ($PTS),
+       | g AS (SELECT user_id, count(*) AS n,
+       |        list(CAST(m AS FLOAT) ORDER BY t, idx) AS mf,
+       |        list(CAST(w AS FLOAT) ORDER BY t, idx) AS wf
+       |       FROM p GROUP BY 1 HAVING $Guard2),
+       | g0 AS (SELECT *, CAST(n AS FLOAT) AS nf, list_sort(mf) AS sf FROM g),
+       | g1 AS (SELECT *,
+       |         ${fdiv(fsum(s"list_transform($ks, k -> wf[k] * mf[k])"),
+                        fsum("wf"))} AS wm,
+       |         ${fsum("mf")} / nf AS mu,
+       |         CASE WHEN n % 2 = 0
+       |          THEN ${fl("0.5")} * (sf[CAST((n - 1) // 2 AS INT) + 1]
+       |                               + sf[CAST((n - 1) // 2 AS INT) + 2])
+       |          ELSE sf[CAST((n - 1) // 2 AS INT) + 1] END AS med
+       |        FROM g0),
+       | g2 AS (SELECT *,
+       |         ${fsum(s"list_transform($ks, " +
+                   "k -> (mf[k] - wm) * (mf[k] - wm) * wf[k])")} AS chi2,
+       |         ${fsum(s"list_transform(wf, x -> ${fl("1.0")} / x)")} AS sinvw,
+       |         ${fsum("list_transform(mf, x -> (x - mu) * (x - mu))")}
+       |           / CAST(n - 1 AS FLOAT) AS s2,
+       |         ${fsum(s"list_transform($ks, " +
+                   s"k -> abs(mf[k] - wm) * ${fsqrt("wf[k]")})")} AS sk,
+       |         ${fsum(s"list_filter(list_transform($ks, " +
+                   s"k -> abs(mf[k] - med) * ${fsqrt("wf[k]")}), " +
+                   "v -> isfinite(v))")} AS sr
+       |        FROM g1)
+       |SELECT user_id,
+       | round(wm + $JitterSql, $R) + 0 AS weighted_mean_f32,
+       | round(chi2 / (nf - ${fl("1.0")}) + $JitterSql, $R) + 0 AS reduced_chi2_f32,
+       | round(${fdiv("s2 - sinvw / nf", "mu * mu")} + $JitterSql, $R) + 0
+       |   AS excess_variance_f32,
+       | round(${fdiv("sk", fsqrt("nf * chi2"))} + $JitterSql, $R) + 0 AS stetson_k_f32,
+       | round(sr / (nf - ${fl("1.0")}) + $JitterSql, $R) + 0 AS roms_f32
+       |FROM g2 ORDER BY user_id""".stripMargin
+  }
+
   /** The f32 flavor of the simple-kernel battery
     * ([[graft.ref.FeaturesF32]]): the stored f64 columns are narrowed
     * to f32 at the series boundary and every kernel accumulation runs
@@ -1087,6 +1161,7 @@ object EventQueries {
     "q_special_kernels" -> qSpecial _,
     "q_simple_stats_f32" -> qSimpleStatsF32 _,
     "q_quantiles_f32" -> qQuantilesF32 _,
+    "q_weighted_f32" -> qWeightedF32 _,
     "q_otsu_biweight" -> qOtsuBiweight _,
     "q_tier_1m" -> qTier1m _,
     "q_tier_cascade_1h" -> qTierCascade1h _,
@@ -1115,5 +1190,6 @@ object EventQueries {
     "q_otsu_biweight" -> sqlOtsuBiweight,
     "q_special_kernels" -> sqlSpecial,
     "q_simple_stats_f32" -> sqlSimpleStatsF32,
-    "q_quantiles_f32" -> sqlQuantilesF32)
+    "q_quantiles_f32" -> sqlQuantilesF32,
+    "q_weighted_f32" -> sqlWeightedF32)
 }

@@ -185,6 +185,44 @@ object FeaturesF32 {
     Array(med, ipr, mad, pa, mbrp, pdmp, mpr)
   }
 
+  /** The weighted-kernel battery (q_weighted_f32), mirroring the f64
+    * evaluators WeightedMean / ReducedChi2 / ExcessVariance /
+    * StetsonK / Roms with every accumulation in f32 (the reference's
+    * f32 instantiation of weighted_mean.rs:58-60, excess_variance.rs:
+    * 62-67, stetson_k.rs:64-71, roms.rs:61-73). `sqrt` follows the
+    * engine-wide narrowed-double convention ([[sqrtF]]); series must
+    * satisfy the n >= 2 + variability guard (enforced by the query). */
+  def evalWeighted(m: Array[Float], w: Array[Float]): Array[Float] = {
+    val n = m.length
+    val nf = n.toFloat
+    var sw = 0.0f; var swm = 0.0f
+    var i = 0
+    while (i < n) { sw += w(i); swm += w(i) * m(i); i += 1 }
+    val wm = swm / sw
+    var chi2 = 0.0f
+    i = 0
+    while (i < n) { val d = m(i) - wm; chi2 += d * d * w(i); i += 1 }
+    var sInvW = 0.0f
+    i = 0
+    while (i < n) { sInvW += 1.0f / w(i); i += 1 }
+    val mu = mean(m)
+    val ev = (std2(m, mu) - sInvW / nf) / (mu * mu)
+    var sK = 0.0f
+    i = 0
+    while (i < n) { sK += math.abs(m(i) - wm) * sqrtF(w(i)); i += 1 }
+    val stetsonK = sK / sqrtF(nf * chi2)
+    val med = median(m)
+    var sR = 0.0f
+    i = 0
+    while (i < n) {
+      val v = math.abs(m(i) - med) * sqrtF(w(i))
+      if (java.lang.Float.isFinite(v)) sR += v
+      i += 1
+    }
+    val roms = sR / (nf - 1.0f)
+    Array(wm, chi2 / (nf - 1.0f), ev, stetsonK, roms)
+  }
+
   /** The battery evaluated by q_simple_stats_f32, in output order. */
   def evalAll(t: Array[Float], m: Array[Float]): Array[Float] = {
     val n = m.length

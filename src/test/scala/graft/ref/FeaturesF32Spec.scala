@@ -66,6 +66,24 @@ class FeaturesF32Spec extends AnyFunSuite {
     }
   }
 
+  test("f32 weighted battery tracks the f64 evaluators within single-precision tolerance") {
+    for (seed <- 1L to 5L) {
+      val (t, m) = rand(64, seed)
+      val rng = new scala.util.Random(seed + 100)
+      val w = Array.fill(64)(0.5f + rng.nextFloat())
+      val lc = LightCurve(t.map(_.toDouble), m.map(_.toDouble), w.map(_.toDouble))
+      val f32 = FeaturesF32.evalWeighted(m, w)
+      val f64 = Seq(
+        Features.WeightedMean, Features.ReducedChi2, Features.ExcessVariance,
+        Features.StetsonK, Features.Roms)
+        .map(_.evalNoCheck(lc)(0))
+      f32.zip(f64).zipWithIndex.foreach { case ((a, b), i) =>
+        val rel = math.abs(a - b) / math.max(math.abs(b), 1e-6)
+        assert(rel < 2e-3, s"weighted kernel $i diverged beyond f32 tolerance: $a vs $b")
+      }
+    }
+  }
+
   test("f32 flavor tracks the f64 flavor within single-precision tolerance") {
     for (seed <- 1L to 5L) {
       val (t, m) = rand(64, seed)
