@@ -14,75 +14,84 @@ import org.apache.spark.sql.functions._
  * Scale shape: a plain `Window.partitionBy(conv_id)` running sum puts
  * an entire conversation into ONE task — bounded for normal
  * conversations, but an adversarially long (10⁶-turn) agent transcript
- * would buffer whole in a single window task. The session index is
- * therefore computed hierarchically (the same distributed prefix-sum
- * shape as [[graft.operators.Packing]]):
+ * would buffer whole in a single window task. Instead the engine's
+ * sorted-buffer pattern is applied at CHUNK granularity:
  *
  *  1. turns get a deterministic bounded chunk key
  *     `turn_idx div chunkSize`;
- *  2. per-chunk boundary rows (the last `t` of each chunk) roll up to
- *     a TINY table (one row per chunk, ~turns/chunkSize rows) whose
- *     windows are trivially bounded;
- *  3. gap flags are computed with a lag INSIDE each (conv, chunk) —
- *     the first row of a chunk compares against the previous chunk's
- *     boundary `t` from (2);
- *  4. `session_idx` = within-chunk running sum of flags + the prefix
- *     sum of whole-chunk flag totals, broadcast back.
+ *  2. ONE corpus aggregate collects each (conv, chunk)'s rows into a
+ *     sorted buffer — bounded by `chunkSize` rows per group by
+ *     construction (partial aggregation combines map-side; this is
+ *     the only corpus-sized shuffle in the whole operator);
+ *  3. a local in-buffer loop computes each row's cumulative intra-
+ *     chunk gap count plus the chunk's boundary scalars (first/last
+ *     t, total gaps);
+ *  4. chunk-boundary gaps and exclusive chunk-offset prefixes are two
+ *     window passes over the per-chunk rows themselves — one row per
+ *     chunk (a 10⁶-turn conversation at the default chunk size is 16
+ *     rows), so no join and no second corpus pass is needed;
+ *  5. the buffers explode back to rows with
+ *     `session_idx = chunk_offset + local_cum`.
  *
  * All arithmetic is integer flags + exact comparisons, so the result
- * is identical to the single-window form at any chunkSize (spec-
- * checked), and every corpus-sized window task is bounded by
- * `chunkSize` rows by construction.
+ * is identical to the single-window form at any chunkSize
+ * (spec-swept), with exactly one corpus shuffle and zero corpus
+ * re-computation.
  *
  * Required invariant (the transcript contract — BASELINE.json's
- * "stable (conv_id, turn_idx) ordering"): `t` is non-decreasing in
- * `turn_idx` within a conversation, and `turn_idx` is non-negative.
- * Chunking on `turn_idx` then respects the session order `(t,
- * turn_idx)`; the ordering inside each chunk window remains `(t,
- * turn_idx)`, so tie-breaks match the un-chunked form exactly.
+ * "stable (conv_id, turn_idx) ordering"): `turn_idx` is unique and
+ * non-negative within a conversation and `t` is non-decreasing in
+ * `turn_idx`; session order is turn order.
  */
 object Sessionize {
 
   /** Tag every turn with its 0-based `session_idx` within the
     * conversation: a new session starts when `t - prev_t > gapSeconds`
-    * (strict, matching the streaming detector's convention). */
+    * (strict, matching the streaming detector's convention). Output:
+    * the input columns plus `session_idx`. */
   def assign(series: DataFrame, gapSeconds: Double,
       chunkSize: Long = 1L << 16): DataFrame = {
-    val base = series.withColumn("_chunk", expr(s"turn_idx div ${chunkSize}L"))
-    val wChunk = Window.partitionBy(col("conv_id"), col("_chunk"))
-      .orderBy(col("t"), col("turn_idx"))
-    val runChunk = wChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // (2) per-chunk boundary t — a partial-aggregated groupBy; the lag
-    // to the previous chunk runs over this tiny one-row-per-chunk table
-    val wBounds = Window.partitionBy(col("conv_id")).orderBy(col("_chunk"))
-    val bounds = base.groupBy(col("conv_id"), col("_chunk"))
-      .agg(max(col("t")).as("_last_t"))
-      .withColumn("_prev_chunk_t", lag(col("_last_t"), 1).over(wBounds))
-      .select(col("conv_id"), col("_chunk"), col("_prev_chunk_t"))
-    // (3) gap flags: in-chunk lag, chunk-boundary rows fall back to the
-    // previous chunk's last t (null for the very first chunk -> no gap).
-    // NO broadcast hint on these joins: the side tables are one row per
-    // (conv, chunk) — tiny relative to the corpus but proportional to
-    // it (billions of conversations -> billions of rows), so AQE must
-    // stay free to pick a shuffle join; both joins key on the same
-    // (conv_id, _chunk) the chunk windows partition by, so the corpus
-    // side reuses its partitioning
-    val flagged = base.join(bounds, Seq("conv_id", "_chunk"))
-      .withColumn("_prev_t",
-        coalesce(lag(col("t"), 1).over(wChunk), col("_prev_chunk_t")))
-      .withColumn("_gap",
-        when(col("t") - col("_prev_t") > gapSeconds, 1L).otherwise(0L))
-      .withColumn("_cum", sum(col("_gap")).over(runChunk))
-    // (4) chunk flag totals -> exclusive prefix -> broadcast back
-    val wOff = Window.partitionBy(col("conv_id")).orderBy(col("_chunk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = flagged.groupBy(col("conv_id"), col("_chunk"))
-      .agg(sum(col("_gap")).as("_chunk_gaps"))
-      .withColumn("_goff", coalesce(sum(col("_chunk_gaps")).over(wOff), lit(0L)))
-      .select(col("conv_id"), col("_chunk"), col("_goff"))
-    flagged.join(offsets, Seq("conv_id", "_chunk"))
-      .withColumn("session_idx", col("_goff") + col("_cum"))
-      .drop("_chunk", "_prev_chunk_t", "_prev_t", "_gap", "_cum")
+    val payload = struct(series.columns.map(col): _*)
+    // (2) the one corpus shuffle: bounded sorted buffers per chunk
+    val chunks = series
+      .withColumn("_chunk", expr(s"turn_idx div ${chunkSize}L"))
+      .groupBy(col("conv_id"), col("_chunk"))
+      .agg(sort_array(collect_list(
+        struct(col("turn_idx").as("_ti"), col("t").as("_t"),
+          payload.as("_row")))).as("pts"))
+    // (3) local loop: per-row cumulative intra-chunk gap count
+    val cumU = udf((ts: Seq[Double]) => {
+      val out = new Array[Long](ts.length)
+      var c = 0L
+      var i = 1
+      while (i < ts.length) {
+        if (ts(i) - ts(i - 1) > gapSeconds) c += 1
+        out(i) = c
+        i += 1
+      }
+      out
+    })
+    val perChunk = chunks
+      .withColumn("_cum", cumU(col("pts._t")))
+      .withColumn("_first_t", element_at(col("pts._t"), 1))
+      .withColumn("_last_t", element_at(col("pts._t"), -1))
+      .withColumn("_gaps", element_at(col("_cum"), -1))
+    // (4) boundary gaps + exclusive offsets over the per-chunk rows —
+    // window partitions hold one row per chunk of one conversation
+    val wB = Window.partitionBy(col("conv_id")).orderBy(col("_chunk"))
+    val wOff = wB.rowsBetween(Window.unboundedPreceding, -1)
+    val offset = perChunk
+      .withColumn("_prev_last_t", lag(col("_last_t"), 1).over(wB))
+      .withColumn("_bgap",
+        when(col("_first_t") - col("_prev_last_t") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("_off",
+        coalesce(sum(col("_gaps") + col("_bgap")).over(wOff), lit(0L))
+          + col("_bgap"))
+    // (5) explode back to rows
+    offset
+      .select(col("_off"), explode(arrays_zip(col("pts"), col("_cum"))).as("z"))
+      .select(col("z.pts._row.*"), (col("_off") + col("z._cum")).as("session_idx"))
   }
 
   /** One row per (conv, session): span, size and text-mass summary. */

@@ -496,7 +496,8 @@ class PipelineSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.window.WindowExec
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    val turns = s2.range(100).select(lit("c0").as("conv_id"),
+    val turns = s2.range(100).select(
+      concat(lit("c"), (col("id") % 2).cast("string")).as("conv_id"),
       col("id").cast("int").as("turn_idx"), (col("id") * 10.0).as("t"),
       lit(1.0).as("m"))
     val df = graft.engine.Sessionize.assign(turns, 1800.0, chunkSize = 10L)
@@ -504,12 +505,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(windows.nonEmpty)
     windows.foreach { w =>
       val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
-      // per-row windows must carry the chunk key; the only conv-keyed
-      // windows run over the tiny one-row-per-chunk roll-up tables
-      val chunkBounded = keys.contains("_chunk")
+      // the ONLY windows allowed run over the per-chunk roll-up rows
+      // (one row per chunk — child carries the chunk buffer/scalars),
+      // never over the exploded per-turn corpus
       val isChunkRollup = w.child.output.map(_.name)
-        .exists(n => n == "_last_t" || n == "_chunk_gaps")
-      assert(chunkBounded || isChunkRollup,
+        .exists(n => n == "pts" || n == "_gaps" || n == "_last_t")
+      assert(keys.contains("_chunk") || isChunkRollup,
         s"whole-conversation window over $keys:\n$w")
     }
   }
