@@ -111,10 +111,22 @@ object PipelineQueries {
     ngramJaccardPairs(docs(s, dir), NgramMaxDf)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** The capped inverted-index pair pipeline (testable shape). */
+  /** The capped inverted-index pair pipeline (testable shape).
+    *
+    * Materialization points (both reclaimed by ContextCleaner once the
+    * plan is dropped; a production run would STORE the index): the
+    * shingle table is persisted because the hot-shingle census and the
+    * kept-posting build would otherwise each re-split and re-shingle
+    * every document, and the capped inverted index (one row per
+    * distinct shingle, id lists bounded by the DF cap) is persisted
+    * because pair expansion AND per-doc kept-sizes both derive from it
+    * — sizes via a cheap explode of the cached id lists, not a second
+    * corpus pass. */
   private[queries] def ngramJaccardPairs(d: DataFrame, maxDf: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val base = d.select(col("doc_id"), col("lang"), col("source"),
       Dedup.wordShingles(col("text"), 2).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val postings = base.select(col("lang"), col("source"), col("doc_id"),
       explode(col("sh")).as("g"))
     // DF cap: hot shingles leave the shingle space (left_anti against
@@ -124,7 +136,16 @@ object PipelineQueries {
       .filter(col("df") > maxDf)
       .select(col("lang"), col("source"), col("g"))
     val kept = postings.join(hot, Seq("lang", "source", "g"), "left_anti")
-    val sizes = kept.groupBy(col("doc_id"), col("lang"), col("source"))
+    // the capped inverted index — the reused core of the operator
+    val index = kept.groupBy(col("lang"), col("source"), col("g"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-doc kept-posting counts, derived from the index id lists
+    // (each (shingle, doc) appears exactly once, so the explode count
+    // equals the kept-posting count)
+    val sizes = index
+      .select(col("lang"), col("source"), explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(count(lit(1)).as("n"))
     // candidate pairs per shingle WITHOUT a posting self-join: one
     // groupBy ships the postings once (a self-join shuffles them
@@ -140,8 +161,7 @@ object PipelineQueries {
     // one (lang, source) block, which is re-derived from the sizes
     // table instead of riding the widest shuffle (AQE picks broadcast
     // vs shuffle join for the per-doc sizes side by its actual size)
-    kept.groupBy(col("lang"), col("source"), col("g"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+    index
       .select(explode(pairCombos).as("pr"))
       .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
