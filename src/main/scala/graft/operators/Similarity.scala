@@ -225,22 +225,55 @@ object Similarity {
    */
   def lshTopK(df: DataFrame, planes: Int, k: Int, tables: Int = 4,
       seed: Long = 7L): DataFrame = {
+    val (base, withSig) = lshSignatures(df, planes, tables, seed)
+    val a = withSig.select(col("table"), col("bucket"), col("id").as("query_id"))
+    val b = withSig.select(col("table"), col("bucket"), col("id").as("cand_id"))
+    fetchScoreRank(a.join(b, Seq("table", "bucket")), base, k, df.sparkSession)
+  }
+
+  /** Shared signature machinery of the hyperplane-LSH paths: returns
+    * (`base` with per-row vector + norm, `withSig` exploded to one row
+    * per (table, bucket)). In auto mode (planes <= 0) the corpus count
+    * rides the plan as a broadcast 1-row aggregate — no separate
+    * `df.count()` action. */
+  private def lshSignatures(df: DataFrame, planes: Int, tables: Int,
+      seed: Long): (DataFrame, DataFrame) = {
     val sigsU = udf((v: Seq[Double], nRows: Long) => {
       val nPlanes = if (planes > 0) planes else autoPlanes(nRows)
       Array.tabulate(tables)(tb => hyperplaneSignature(v, nPlanes, seed + 1000L * tb))
     })
     val base = df.select(col("id"), asDouble(col("vec")).as("v"))
       .withColumn("n2", norm(col("v")))
-    // auto mode: the 1-row corpus count broadcasts onto every row (a
-    // column-pruned aggregate scan inside the same DAG); literal mode
-    // skips it entirely
     val tagged =
       if (planes > 0) base.withColumn("_n", lit(0L))
       else base.crossJoin(broadcast(df.select(count(lit(1)).as("_n"))))
     val withSig = tagged.select(col("id"),
       posexplode(sigsU(col("v"), col("_n"))).as(Seq("table", "bucket")))
-    val a = withSig.select(col("table"), col("bucket"), col("id").as("query_id"))
-    val b = withSig.select(col("table"), col("bucket"), col("id").as("cand_id"))
-    fetchScoreRank(a.join(b, Seq("table", "bucket")), base, k, df.sparkSession)
+    (base, withSig)
+  }
+
+  /**
+   * Undirected scored candidate pairs for embedding NEAR-DUP
+   * detection: every (id_a < id_b) pair colliding in at least one LSH
+   * table, with its exact cosine. Same 100 TB shape as [[lshTopK]] —
+   * the bucket self-join ships ids only, multi-table collisions dedupe
+   * on the narrow pair projection, vectors are fetched post-match and
+   * scored with the codegen'd `vec_dot`. Callers filter on a cosine
+   * threshold and feed [[graft.operators.Dedup.duplicateClusters]].
+   */
+  def lshCosinePairs(df: DataFrame, planes: Int = -1, tables: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    val (base, withSig) = lshSignatures(df, planes, tables, seed)
+    val a = withSig.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val b = withSig.select(col("table"), col("bucket"), col("id").as("id_b"))
+    val q = base.select(col("id").as("id_a"), col("v").as("qv"), col("n2").as("qn"))
+    val c = base.select(col("id").as("id_b"), col("v").as("cv"), col("n2").as("cn"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(q, Seq("id_a"))
+      .join(c, Seq("id_b"))
+      .withColumn("cosine", pairCosine(df.sparkSession))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -529,19 +529,21 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Full value oracle for hyperplane-LSH ANN: auto plane count,
+  /** Shared CTE prefix of the hyperplane-LSH oracles (ANN top-k and
+    * near-dup clustering), ending with `scored(query_id, cand_id,
+    * cosine)` over every colliding DIRECTED pair: auto plane count,
     * +-1 hyperplane components from the splitmix64 stream, sign
     * signatures via in-order folds, multi-table bucket self-join,
-    * pair dedupe and cosine ranking — all mirrored in SQL. Cosine is
-    * the engine's exact form (ascending-index dot / product of
-    * ascending-index norms), so doubles are bit-equal. */
-  private val sqlEmbedAnnLsh: String = {
+    * pair dedupe and exact cosine. Cosine is the engine's exact form
+    * (ascending-index dot / product of ascending-index norms), so
+    * doubles are bit-equal. */
+  private val sqlEmbedLshCtes: String = {
     import DuckMacros._
     // component key: mix64(seed ^ (p << 32) ^ d), seed = 7 + 1000*tb
     val comps = mix64Stages(
       s"(SELECT tb, p, d, ${xor64(xor64("(7 + 1000 * tb)", "p * 4294967296"), "d")} AS ck " +
         "FROM tpd)", "ck", "ch", Seq("tb", "p", "d"))
-    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        | e2 AS (SELECT id, v,
        |         sqrt(list_reduce(list_prepend(0.0,
        |           list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
@@ -576,14 +578,63 @@ object PipelineQueries {
        |               list_transform(range(1, len(qa.v) + 1), k -> qa.v[k] * qb.v[k])),
        |               (a, x) -> a + x) / (qa.nrm * qb.nrm) AS cosine
        |            FROM joined j JOIN e2 qa ON qa.id = j.query_id
-       |            JOIN e2 qb ON qb.id = j.cand_id),
+       |            JOIN e2 qb ON qb.id = j.cand_id)""".stripMargin
+  }
+
+  private val sqlEmbedAnnLsh: String =
+    s"""WITH $sqlEmbedLshCtes,
        | ranked AS (SELECT query_id, cand_id, cosine,
        |             row_number() OVER (PARTITION BY query_id
        |               ORDER BY cosine DESC, cand_id) AS rank
        |            FROM scored)
        |SELECT query_id, cand_id, round(cosine, 6) + 0 AS cosine, rank
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Cosine threshold for the embedding near-dup clusters — below the
+    * exact-duplicate regime on purpose so the synthetic corpus (max
+    * pairwise cosine ~0.51) yields a non-trivial edge set; a
+    * production run would set ~0.95+. Compared on the 6-decimal
+    * rounding both engines share. */
+  private val NearDupCosine = 0.4
+
+  /** Embedding near-duplicate CLUSTERS — the vector twin of
+    * q_docs_dup_clusters: LSH-bucketed candidate pairs
+    * ([[Similarity.lshCosinePairs]] — ids-only bucket join, exact
+    * cosine post-match), thresholded, then connected components via
+    * the same distributed star contraction, each vector labeled with
+    * its cluster's min id + size (groupBy+join, window-free). */
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val all = embeds(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = Similarity.lshCosinePairs(all, planes = -1, tables = 4)
+      .filter(round(col("cosine"), 6) >= NearDupCosine)
+      .select(col("id_a"), col("id_b"))
+    val labeled = Dedup.duplicateClusters(all.select(col("id")), pairs)
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster_id"))
+      .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("vec_id"))
   }
+
+  /** Full value oracle for the near-dup clusters: the LSH pair CTEs
+    * (exact bucket collisions + bit-equal cosines) feed a recursive
+    * min-label transitive closure — the same closure form as
+    * sqlDupClusters. `scored` carries both directions of every
+    * colliding pair, which is exactly the symmetric edge set the
+    * closure needs. */
+  private val sqlEmbedNearDup: String =
+    s"""WITH RECURSIVE $sqlEmbedLshCtes,
+       | ed AS (SELECT query_id AS src, cand_id AS dst FROM scored
+       |        WHERE round(cosine, 6) >= $NearDupCosine),
+       | n AS (SELECT vec_id AS id FROM embeddings),
+       | reach AS (
+       |   SELECT id, id AS lbl FROM n
+       |   UNION
+       |   SELECT ed.src AS id, r.lbl FROM reach r JOIN ed ON ed.dst = r.id),
+       | lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       |SELECT l.id AS vec_id, l.cluster_id,
+       | count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+       |FROM lab l ORDER BY vec_id""".stripMargin
 
   /** IVF ANN (inverted file over a deterministic coarse quantizer,
     * multi-probe) — the second named scale path. The driver query
@@ -879,6 +930,7 @@ object PipelineQueries {
     "q_docs_langid" -> qLangId _,
     "q_embed_topk" -> qEmbedTopK _,
     "q_embed_ann_lsh" -> qEmbedAnnLsh _,
+    "q_embed_neardup" -> qEmbedNearDup _,
     "q_embed_ivf" -> qEmbedIvf _,
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
@@ -900,6 +952,7 @@ object PipelineQueries {
     "q_docs_langid" -> sqlLangId,
     "q_embed_topk" -> sqlEmbedTopK,
     "q_embed_ann_lsh" -> sqlEmbedAnnLsh,
+    "q_embed_neardup" -> sqlEmbedNearDup,
     "q_embed_ivf" -> sqlEmbedIvf,
     "q_multimodal_meta" -> sqlMultimodalMeta,
     "q_multimodal_decode" -> sqlMultimodalDecode,

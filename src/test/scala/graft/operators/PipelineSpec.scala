@@ -288,6 +288,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(r4 > 0.5, s"recall@5 with 4/8 cells probed: $r4")
   }
 
+  test("embedding near-dup: planted near-identical vectors cluster, distant ones stay apart") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    def vec(): Array[Double] = Array.fill(32)(rng.nextGaussian())
+    // 20 random vectors; ids 100+i are tiny perturbations of ids 0..4
+    val base = (0L until 20L).map(i => (i, vec()))
+    val dups = (0 until 5).map { i =>
+      (100L + i) -> base(i)._2.map(x => x + rng.nextGaussian() * 0.01)
+    }
+    val df = (base ++ dups).toDF("id", "vec")
+    val pairs = Similarity.lshCosinePairs(df, planes = 3, tables = 6)
+      .filter(col("cosine") >= 0.98)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.duplicateClusters(df.select(col("id")), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach(i =>
+      assert(labels(100L + i) == i.toLong, s"planted near-dup $i not clustered"))
+    // the non-perturbed vectors stay singletons
+    (5L until 20L).foreach(i => assert(labels(i) == i))
+    // symmetric sanity: every pair cosine is within [-1, 1]
+    val cos = Similarity.lshCosinePairs(df, planes = 2, tables = 2)
+      .select(col("cosine")).collect().map(_.getDouble(0))
+    assert(cos.forall(c => c >= -1.0000001 && c <= 1.0000001))
+  }
+
   test("fingerprint is word-order and repetition invariant") {
     import spark.implicits._
     val df = Seq(
