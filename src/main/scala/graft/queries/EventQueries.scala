@@ -681,6 +681,75 @@ object EventQueries {
        |FROM g3 ORDER BY user_id""".stripMargin
   }
 
+  /** The f32 flavor of the sequential/time-kernel battery
+    * ([[graft.ref.FeaturesF32.evalSequential]]): EtaE / LaflerKinman /
+    * Duration / TimeMean / TimeStd / Max-/MinTimeInterval with f32
+    * accumulation over the (t, idx)-ordered series. */
+  private def qSequentialF32(s: SparkSession, dir: String): DataFrame = {
+    val names = Seq("eta_e_f32", "lafler_kinman_f32", "duration_f32",
+      "time_mean_f32", "time_std_f32", "max_time_interval_f32",
+      "min_time_interval_f32")
+    val evalU = udf((ts: Seq[Double], ms: Seq[Double]) =>
+      graft.ref.FeaturesF32.evalSequential(
+        ts.iterator.map(_.toFloat).toArray, ms.iterator.map(_.toFloat).toArray))
+    val base = SeriesFeatures.boundedCollect(pts(s, dir), "user_id", 100000)
+      .withColumn("mn", array_min(col("p").getField("m")))
+      .withColumn("mx", array_max(col("p").getField("m")))
+      .filter(col("n_obs") >= 2 && col("mn") < col("mx"))
+      .withColumn("f", evalU(col("p").getField("t"), col("p").getField("m")))
+    names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
+      d.withColumn(n, r(col("f").getItem(i)))
+    }.select((col("user_id") +: names.map(col)): _*).orderBy(col("user_id"))
+  }
+
+  /** FLOAT-typed DuckDB mirror of the f32 sequential battery: in-order
+    * folds over the (t, idx)-ordered FLOAT lists; non-finite squared
+    * slopes drop on both engines (FLOAT x/0 -> NULL here vs JVM Inf/
+    * NaN — both fail the finite filter); EtaE's cube is the same
+    * iterated f32 multiply chain. */
+  private val sqlSequentialF32: String = {
+    def fl(x: String) = s"CAST($x AS FLOAT)"
+    def fsum(l: String) =
+      s"list_reduce(list_prepend(${fl("0.0")}, $l), (a, x) -> a + x)"
+    val ks2 = "range(2, CAST(n AS BIGINT) + 1)"
+    s"""WITH p AS ($PTS),
+       | g AS (SELECT user_id, count(*) AS n,
+       |        list(CAST(m AS FLOAT) ORDER BY t, idx) AS mf,
+       |        list(CAST(t AS FLOAT) ORDER BY t, idx) AS tf
+       |       FROM p GROUP BY 1 HAVING $Guard2),
+       | g0 AS (SELECT *, CAST(n AS FLOAT) AS nf,
+       |         CAST(n AS FLOAT) - ${fl("1.0")} AS nm1
+       |        FROM g),
+       | g1 AS (SELECT *,
+       |         ${fsum("mf")} / nf AS mu,
+       |         ${fsum("tf")} / nf AS tmu,
+       |         tf[n] - tf[1] AS dur,
+       |         list_transform($ks2, k -> tf[k] - tf[k - 1]) AS dts
+       |        FROM g0),
+       | g2 AS (SELECT *,
+       |         ${fsum("list_transform(mf, x -> (x - mu) * (x - mu))")}
+       |           / nm1 AS s2,
+       |         ${fsum("list_transform(tf, x -> (x - tmu) * (x - tmu))")}
+       |           / nm1 AS ts2,
+       |         ${fsum(s"list_filter(list_transform($ks2, " +
+                 "k -> ((mf[k] - mf[k - 1]) / (tf[k] - tf[k - 1])) " +
+                 "* ((mf[k] - mf[k - 1]) / (tf[k] - tf[k - 1]))), " +
+                 "v -> isfinite(v))")} AS ssq,
+       |         ${fsum("list_transform(range(1, CAST(n AS BIGINT) + 1), " +
+                 "k -> CASE WHEN k < n THEN (mf[k + 1] - mf[k]) * (mf[k + 1] - mf[k]) " +
+                 "ELSE (mf[1] - mf[k]) * (mf[1] - mf[k]) END)")} AS lks
+       |        FROM g1)
+       |SELECT user_id,
+       | round(dur * dur * ssq / s2 / (nm1 * nm1 * nm1) + $JitterSql, $R) + 0 AS eta_e_f32,
+       | round(lks / (${fl("2.0")} * s2 * nm1) + $JitterSql, $R) + 0 AS lafler_kinman_f32,
+       | round(dur + $JitterSql, $R) + 0 AS duration_f32,
+       | round(tmu + $JitterSql, $R) + 0 AS time_mean_f32,
+       | round(${fl("sqrt(CAST(ts2 AS DOUBLE))")} + $JitterSql, $R) + 0 AS time_std_f32,
+       | round(${fl("list_aggregate(dts, 'max')")} + $JitterSql, $R) + 0 AS max_time_interval_f32,
+       | round(${fl("list_aggregate(dts, 'min')")} + $JitterSql, $R) + 0 AS min_time_interval_f32
+       |FROM g2 ORDER BY user_id""".stripMargin
+  }
+
   /** The f32 flavor of the weighted-kernel battery
     * ([[graft.ref.FeaturesF32.evalWeighted]]): WeightedMean /
     * ReducedChi2 / ExcessVariance / StetsonK / Roms with f32
@@ -1162,6 +1231,7 @@ object EventQueries {
     "q_simple_stats_f32" -> qSimpleStatsF32 _,
     "q_quantiles_f32" -> qQuantilesF32 _,
     "q_weighted_f32" -> qWeightedF32 _,
+    "q_sequential_f32" -> qSequentialF32 _,
     "q_otsu_biweight" -> qOtsuBiweight _,
     "q_tier_1m" -> qTier1m _,
     "q_tier_cascade_1h" -> qTierCascade1h _,
@@ -1191,5 +1261,6 @@ object EventQueries {
     "q_special_kernels" -> sqlSpecial,
     "q_simple_stats_f32" -> sqlSimpleStatsF32,
     "q_quantiles_f32" -> sqlQuantilesF32,
-    "q_weighted_f32" -> sqlWeightedF32)
+    "q_weighted_f32" -> sqlWeightedF32,
+    "q_sequential_f32" -> sqlSequentialF32)
 }

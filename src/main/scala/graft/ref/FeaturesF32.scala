@@ -223,6 +223,55 @@ object FeaturesF32 {
     Array(wm, chi2 / (nf - 1.0f), ev, stetsonK, roms)
   }
 
+  /** The sequential/time-kernel battery (q_sequential_f32), mirroring
+    * the f64 evaluators EtaE / LaflerKinmanStringLength / Duration /
+    * TimeMean / TimeStandardDeviation / Maximum-/MinimumTimeInterval
+    * with f32 accumulation (eta_e.rs:67-82,
+    * lafler_kinman_string_length.rs:86-100, *_time_interval.rs:60-69).
+    * The cube in EtaE's denominator is iterated f32 multiplies (the
+    * engine's integer-power convention); non-finite squared slopes
+    * drop exactly as in the f64 kernel. */
+  def evalSequential(t: Array[Float], m: Array[Float]): Array[Float] = {
+    val n = m.length
+    val nf = n.toFloat
+    val mu = mean(m)
+    val s2 = std2(m, mu)
+    // eta_e: finite squared slopes, in order
+    var s = 0.0f
+    var i = 1
+    while (i < n) {
+      val sl = (m(i) - m(i - 1)) / (t(i) - t(i - 1))
+      val sq = sl * sl
+      if (java.lang.Float.isFinite(sq)) s += sq
+      i += 1
+    }
+    val dur = t(n - 1) - t(0)
+    val nm1 = nf - 1.0f
+    val etaE = dur * dur * s / s2 / (nm1 * nm1 * nm1)
+    // lafler-kinman with cyclic wrap
+    var lk = 0.0f
+    i = 0
+    while (i < n) {
+      val next = if (i + 1 < n) i + 1 else 0
+      val d = m(next) - m(i)
+      lk += d * d
+      i += 1
+    }
+    val lkv = lk / (2.0f * s2 * nm1)
+    var mxDt = Float.NegativeInfinity
+    var mnDt = Float.PositiveInfinity
+    i = 1
+    while (i < n) {
+      val d = t(i) - t(i - 1)
+      if (d > mxDt) mxDt = d
+      if (d < mnDt) mnDt = d
+      i += 1
+    }
+    val tMu = mean(t)
+    val tStd = sqrtF(std2(t, tMu))
+    Array(etaE, lkv, dur, tMu, tStd, mxDt, mnDt)
+  }
+
   /** The battery evaluated by q_simple_stats_f32, in output order. */
   def evalAll(t: Array[Float], m: Array[Float]): Array[Float] = {
     val n = m.length

@@ -84,6 +84,24 @@ class FeaturesF32Spec extends AnyFunSuite {
     }
   }
 
+  test("f32 sequential battery tracks the f64 evaluators within single-precision tolerance") {
+    for (seed <- 1L to 5L) {
+      val (t, m) = rand(64, seed)
+      val lc = LightCurve(t.map(_.toDouble), m.map(_.toDouble),
+        Array.fill(64)(1.0))
+      val f32 = FeaturesF32.evalSequential(t, m)
+      val f64 = Seq(
+        Features.EtaE, Features.LaflerKinmanStringLength, Features.Duration,
+        Features.TimeMean, Features.TimeStandardDeviation,
+        Features.MaximumTimeInterval, Features.MinimumTimeInterval)
+        .map(_.evalNoCheck(lc)(0))
+      f32.zip(f64).zipWithIndex.foreach { case ((a, b), i) =>
+        val rel = math.abs(a - b) / math.max(math.abs(b), 1e-6)
+        assert(rel < 2e-3, s"sequential kernel $i diverged beyond f32 tolerance: $a vs $b")
+      }
+    }
+  }
+
   test("f32 flavor tracks the f64 flavor within single-precision tolerance") {
     for (seed <- 1L to 5L) {
       val (t, m) = rand(64, seed)
