@@ -103,6 +103,12 @@ object Pipeline {
     * (where the gap is one of many small deltas); this pipeline ships
     * with it disabled. Output key: (conv_id, day, block_days) with
     * `day` the block's first day index and block_days 1 or 7.
+    *
+    * Bucket indices must be NON-NEGATIVE (true by construction here:
+    * tier buckets derive from timestamps at/after the 2024-01-01
+    * epoch origin) — `div` truncates toward zero, so a pre-origin
+    * bucket would merge days -1 and 0 into one block (the same
+    * constraint [[graft.operators.Packing.pack]] documents for ids).
     */
   def gorillaChunks(t1m: DataFrame,
       coalesceBelowPtsPerDay: Double = 0.0): DataFrame = {

@@ -711,6 +711,16 @@ object EventQueries {
     def fl(x: String) = s"CAST($x AS FLOAT)"
     def fsum(l: String) =
       s"list_reduce(list_prepend(${fl("0.0")}, $l), (a, x) -> a + x)"
+    // IEEE-mirror division for the s2 denominators: Guard2 filters on
+    // the DOUBLE values, so a series can still narrow to flat f32
+    // (s2 = 0.0f) — the engine then yields Inf/NaN while plain DuckDB
+    // FLOAT division would yield NULL (false oracle red)
+    def fdiv(a: String, b: String) =
+      s"(CASE WHEN ($b) = 0.0 THEN " +
+        s"(CASE WHEN ($a) = 0.0 THEN ${fl("'nan'")} " +
+        s"WHEN ((($a) > 0.0) <> signbit($b)) THEN ${fl("'infinity'")} " +
+        s"ELSE ${fl("'-infinity'")} END) " +
+        s"ELSE ($a) / ($b) END)"
     val ks2 = "range(2, CAST(n AS BIGINT) + 1)"
     s"""WITH p AS ($PTS),
        | g AS (SELECT user_id, count(*) AS n,
@@ -740,8 +750,8 @@ object EventQueries {
                  "ELSE (mf[1] - mf[k]) * (mf[1] - mf[k]) END)")} AS lks
        |        FROM g1)
        |SELECT user_id,
-       | round(dur * dur * ssq / s2 / (nm1 * nm1 * nm1) + $JitterSql, $R) + 0 AS eta_e_f32,
-       | round(lks / (${fl("2.0")} * s2 * nm1) + $JitterSql, $R) + 0 AS lafler_kinman_f32,
+       | round(${fdiv("dur * dur * ssq", "s2")} / (nm1 * nm1 * nm1) + $JitterSql, $R) + 0 AS eta_e_f32,
+       | round(${fdiv("lks", s"${fl("2.0")} * s2 * nm1")} + $JitterSql, $R) + 0 AS lafler_kinman_f32,
        | round(dur + $JitterSql, $R) + 0 AS duration_f32,
        | round(tmu + $JitterSql, $R) + 0 AS time_mean_f32,
        | round(${fl("sqrt(CAST(ts2 AS DOUBLE))")} + $JitterSql, $R) + 0 AS time_std_f32,

@@ -122,7 +122,18 @@ object PipelineQueries {
     * because pair expansion AND per-doc kept-sizes both derive from it
     * — sizes via a cheap explode of the cached id lists, not a second
     * corpus pass. */
-  private[queries] def ngramJaccardPairs(d: DataFrame, maxDf: Int): DataFrame = {
+  private[queries] def ngramJaccardPairs(d: DataFrame, maxDf: Int): DataFrame =
+    ngramJaccardPairsResult(d, maxDf)._1
+
+  /** [[ngramJaccardPairs]] plus a cleanup handle that unpersists the
+    * shingle table and the inverted index deterministically — call it
+    * only AFTER the pair DataFrame has been fully materialized.
+    * (The handle-less form leaves reclamation to ContextCleaner once
+    * the plan is dropped — acceptable for the one-shot battery query,
+    * where each cache lives for a single Verify/Bench materialization;
+    * long-lived sessions should use this form.) */
+  private[queries] def ngramJaccardPairsResult(
+      d: DataFrame, maxDf: Int): (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
     val base = d.select(col("doc_id"), col("lang"), col("source"),
       Dedup.wordShingles(col("text"), 2).as("sh"))
@@ -161,7 +172,7 @@ object PipelineQueries {
     // one (lang, source) block, which is re-derived from the sizes
     // table instead of riding the widest shuffle (AQE picks broadcast
     // vs shuffle join for the per-doc sizes side by its actual size)
-    index
+    val pairs = index
       .select(explode(pairCombos).as("pr"))
       .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
@@ -172,6 +183,10 @@ object PipelineQueries {
       .select(col("lang"), col("source"), col("id_a"), col("id_b"),
         r(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.02)
+    (pairs, () => {
+      index.unpersist(blocking = false)
+      base.unpersist(blocking = false)
+    })
   }
 
   private val sqlNgramJaccard =

@@ -450,8 +450,22 @@ object SpectralQueries {
     * coarse-grid twins (q_periodogram_direct, q_periodogram_fixed_grid,
     * q_mc_periodogram_direct) remain fully relational-oracled, and
     * FitSpec/PeriodogramSpec carry the semantic tolerance checks. */
-  private def sqlGolden(name: String): String =
-    s"SELECT * FROM read_parquet('/root/repo/goldens/sf0.01/$name.parquet')"
+  /** Goldens are frozen at ALL THREE test scales and dispatched at
+    * oracle-run time on the events-table row count (the scales'
+    * deterministic sizes: 1000 / 10000 / 100000), so a cross-scale
+    * verification sweep — or a driver sf change — compares against the
+    * right golden instead of false-redding. A count matching none of
+    * the scales selects no branch -> row-count mismatch, the correct
+    * loud failure for unknown data. The /root/repo path is the one
+    * filesystem constant the driver contract runs under (documented in
+    * goldens/README.md). */
+  private def sqlGolden(name: String): String = {
+    val scales = Seq("sf0.001" -> 1000L, "sf0.01" -> 10000L, "sf0.1" -> 100000L)
+    scales.map { case (sf, n) =>
+      s"""SELECT g.* FROM read_parquet('/root/repo/goldens/$sf/$name.parquet') g
+         |WHERE (SELECT count(*) FROM events) = $n""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
 
   val oracles: Map[String, String] = Map(
     "q_periodogram" -> sqlGolden("q_periodogram"),

@@ -21,6 +21,15 @@ import org.apache.spark.sql.Dataset
  * batch, turns process in (ts, turn_idx) order; a turn older than the
  * state's last timestamp is dropped (the batch rebuild path
  * reconciles, the standard lambda split).
+ *
+ * Numbering across timeouts: a timeout flush leaves a TOMBSTONE
+ * (empty session carrying the next index and last timestamp) behind
+ * for one further `idleFlush` horizon, so a conversation resuming
+ * within it continues the batch numbering (and the resume gap test
+ * still applies against the pre-flush frontier). Beyond the tombstone
+ * horizon state is truly dropped and `session_idx` restarts at 0 —
+ * the inherent watermark-bounded-state trade; `(conv_id, t_start)` is
+ * the durable session key, and the batch rebuild is the reconciler.
  */
 object StreamingSessionize {
 
@@ -39,20 +48,39 @@ object StreamingSessionize {
       idleFlush: String = "30min"): Dataset[SessionEvent] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import turns.sparkSession.implicits._
-    val idleFlushMs =
-      org.apache.spark.network.util.JavaUtils.timeStringAsMs(idleFlush)
+    // the flush horizon must cover the gap threshold: a session is
+    // only timeout-flushed once the watermark is past tEnd + horizon,
+    // so with horizon >= gap every on-time future turn would have
+    // started a new session in the batch operator too — numbering
+    // stays batch-identical for on-time data at any parameter choice
+    val idleFlushMs = math.max(
+      org.apache.spark.network.util.JavaUtils.timeStringAsMs(idleFlush),
+      math.ceil(gapSeconds * 1000.0).toLong)
 
     def emit(convId: String, st: SessionState, byTimeout: Boolean): SessionEvent =
       SessionEvent(convId, st.sessionIdx, st.nTurns,
         st.tStartMicros / 1e6, st.tEndMicros / 1e6,
         st.tEndMicros / 1e6 - st.tStartMicros / 1e6, st.sumM, byTimeout)
 
+    val streaming = turns.isStreaming
+
     def process(convId: String, it: Iterator[graft.engine.Turn],
         state: GroupState[SessionState]): Iterator[SessionEvent] = {
       if (state.hasTimedOut) {
-        val out = state.getOption.map(emit(convId, _, byTimeout = true))
-        state.remove()
-        return out.iterator
+        val st = state.getOption.orNull
+        if (st != null && st.nTurns > 0L) {
+          // flush the open session; leave a tombstone carrying the next
+          // index + frontier so a resume within one more horizon keeps
+          // the batch numbering (and the resume gap test)
+          state.update(SessionState(st.sessionIdx + 1, st.tEndMicros,
+            st.tEndMicros, 0L, 0.0))
+          state.setTimeoutTimestamp(
+            math.max(st.tEndMicros / 1000L + 2L * idleFlushMs,
+              state.getCurrentWatermarkMs() + 60000L))
+          return Iterator.single(emit(convId, st, byTimeout = true))
+        }
+        state.remove() // tombstone expired: numbering may restart
+        return Iterator.empty
       }
       val sorted = it.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx))
       val out = Seq.newBuilder[SessionEvent]
@@ -62,7 +90,12 @@ object StreamingSessionize {
         val m = t.text.length.toDouble
         if (st == null)
           st = SessionState(0L, tsMicros, tsMicros, 1L, m)
-        else if (tsMicros < st.tEndMicros) {
+        else if (st.nTurns == 0L) {
+          // tombstone: resume numbering from it (frontier = pre-flush
+          // tEnd; anything at/after it starts the next session)
+          if (tsMicros >= st.tEndMicros)
+            st = SessionState(st.sessionIdx, tsMicros, tsMicros, 1L, m)
+        } else if (tsMicros < st.tEndMicros) {
           // older than the open session's frontier: dropped (late policy)
         } else if ((tsMicros - st.tEndMicros) / 1e6 > gapSeconds) {
           out += emit(convId, st, byTimeout = false)
@@ -72,14 +105,17 @@ object StreamingSessionize {
             sumM = st.sumM + m)
       }
       state.update(st)
-      val wmMs = state.getCurrentWatermarkMs()
-      state.setTimeoutTimestamp(
-        math.max(st.tEndMicros / 1000L + idleFlushMs, wmMs + 60000L))
+      if (streaming) {
+        // batch execution has no watermark (getCurrentWatermarkMs
+        // throws) and never fires timeouts anyway
+        val wmMs = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+          math.max(st.tEndMicros / 1000L + idleFlushMs, wmMs + 60000L))
+      }
       out.result().iterator
     }
 
-    val base =
-      if (turns.isStreaming) turns.withWatermark("ts", watermark) else turns
+    val base = if (streaming) turns.withWatermark("ts", watermark) else turns
     base.groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(process)
   }

@@ -70,6 +70,53 @@ class StreamingSessionizeSpec extends AnyFunSuite {
     }
   }
 
+  test("post-timeout resume continues the session numbering from the tombstone") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Turn]
+    val query = StreamingSessionize.sessions(stream.toDS, gapSeconds = 100.0,
+        watermark = "1 minute", idleFlush = "5min")
+      .writeStream.format("memory").queryName("sess_tomb")
+      .outputMode("append").start()
+    stream.addData(turn("c3", 0, 0), turn("c3", 1, 50))
+    query.processAllAvailable()
+    // ANOTHER conversation advances the watermark past c3's idle
+    // horizon -> c3's session 0 flushes by timeout, leaving a tombstone
+    stream.addData(turn("c4", 0, 7200))
+    query.processAllAvailable()
+    // c3 resumes within the tombstone horizon, then a far gap closes
+    // its next session
+    stream.addData(turn("c3", 2, 7500))
+    query.processAllAvailable()
+    stream.addData(turn("c3", 3, 14400))
+    query.processAllAvailable()
+    val got = spark.table("sess_tomb")
+      .as[StreamingSessionize.SessionEvent].collect()
+      .filter(_.conv_id == "c3").sortBy(_.session_idx)
+    query.stop()
+    // numbering CONTINUED through the tombstone: no duplicate
+    // (conv_id, session_idx) key, the resumed session is idx 1
+    assert(got.map(e => (e.conv_id, e.session_idx)).toSeq ==
+      Seq(("c3", 0L), ("c3", 1L)))
+    assert(got(0).closed_by_timeout && !got(1).closed_by_timeout)
+    assert(got(1).n_turns == 1 && got(1).t_start - t0 == 7500.0)
+  }
+
+  test("batch invocation works (no watermark API) and emits the gap-closed sessions") {
+    import spark.implicits._
+    val gap = 1800.0
+    val turns = Seq(turn("b1", 0, 0, 4), turn("b1", 1, 60, 6),
+      turn("b1", 2, 5000, 8), turn("b1", 3, 5030, 2),
+      turn("b1", 4, 12000, 9), turn("b2", 0, 100, 3)).toDS()
+    val got = StreamingSessionize.sessions(turns, gap).collect()
+      .map(e => (e.conv_id, e.session_idx) -> e).toMap
+    // batch mode fires no timeouts: exactly the gap-CLOSED sessions
+    // emit (open tails withheld — batch Sessionize is the batch API)
+    assert(got.keySet == Set(("b1", 0L), ("b1", 1L)))
+    assert(got(("b1", 0L)).n_turns == 2 && got(("b1", 0L)).sum_m == 10.0)
+    assert(got(("b1", 1L)).duration == 30.0)
+  }
+
   test("out-of-order turns within a batch sort by event time before folding") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
