@@ -32,6 +32,15 @@ class NgramCapSpec extends AnyFunSuite {
     (base ++ dups).toDF("doc_id", "lang", "source", "text")
   }
 
+  test("cleanup handle unpersists the shingle table and inverted index deterministically") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (pairs, cleanup) = PipelineQueries.ngramJaccardPairsResult(smallCorpus, maxDf = 128)
+    assert(pairs.count() > 0)
+    cleanup()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"ngram caches left persistent RDDs behind: $leaked")
+  }
+
   test("cap above the corpus max DF leaves the pair output identical") {
     val loose = PipelineQueries.ngramJaccardPairs(smallCorpus, maxDf = 1 << 20)
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).sorted.toSeq
