@@ -23,14 +23,21 @@ object QueryBench {
     SparkEntry.queries.get("q_simple_stats").foreach(f => f(spark, sfDir).count())
     val names = if (args.length > 1) args(1).split(",").toSeq
       else SparkEntry.queries.keys.toSeq.sorted
-    // two passes; report the second (steady-state, post-JIT)
-    for (pass <- 1 to 2; name <- names) {
+    // two CONSECUTIVE passes per query; report the second (steady-
+    // state, post-JIT, warm internal caches from its own cold pass —
+    // not from 60 other queries' stacked persists, which are cleared
+    // between queries so the battery's cache footprint stays bounded)
+    for (name <- names) {
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case e: Throwable =>
-        println(s"$name FAILED: ${e.getMessage}"); -1L }
-      if (pass == 2)
-        println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($n rows)")
+      var secs = 0.0; var n = -1L
+      for (pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        n = try fn(spark, sfDir).count() catch { case e: Throwable =>
+          println(s"$name FAILED: ${e.getMessage}"); -1L }
+        secs = (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s $secs%8.3f s  ($n rows)")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

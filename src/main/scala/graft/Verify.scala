@@ -21,6 +21,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several operators persist narrow internal tables (minhash
+      // signatures, n-gram index, LSH reps) and leave reclamation to
+      // ContextCleaner; across a 60+-query battery those caches stack,
+      // so drop them deterministically once each query's output is on
+      // disk (no cross-query plan reuse exists by design)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -71,8 +71,16 @@ object Pipeline {
       store.lastSnapshot("1h_gapfill").get.parts.map(_.rows).sum)
 
     // ---- gorilla chunks: one block per (conv, utc day) of 1m points ----
+    // The stage fingerprint embeds a SCHEMA VERSION alongside the input
+    // snapshot: a resume only reuses committed parts when both the 1m
+    // input AND the gorilla output shape are unchanged. Without it, an
+    // output-schema change (e.g. v2's added block_days column) would
+    // resume a partially-committed older-binary snapshot into a
+    // mixed-schema parquet directory. Bump on any gorillaChunks output
+    // change.
+    val gorillaSchemaV = "gorilla-v2-blockdays"
     val doneGz = Snapshots.buildResumable(spark, t1m, "1m_gorilla",
-      d => gorillaChunks(d), store, fp1m, nParts, maxPartsPerRun)
+      d => gorillaChunks(d), store, s"$fp1m-$gorillaSchemaV", nParts, maxPartsPerRun)
     reports += StageReport("gorilla_1m", doneGz,
       store.lastSnapshot("1m_gorilla").get.parts.map(_.rows).sum)
 

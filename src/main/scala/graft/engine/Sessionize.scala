@@ -52,13 +52,27 @@ object Sessionize {
   def assign(series: DataFrame, gapSeconds: Double,
       chunkSize: Long = 1L << 16): DataFrame = {
     val payload = struct(series.columns.map(col): _*)
-    // (2) the one corpus shuffle: bounded sorted buffers per chunk
+    // (2) the one corpus shuffle: bounded sorted buffers per chunk.
+    // The buffer sort is an array_sort COMPARATOR on (_t, _ti) only —
+    // the engine's deterministic total order (t leads, turn_idx breaks
+    // ties; _ti is unique per conversation so the order is total) —
+    // never on the payload struct: sort_array over the whole struct
+    // would (a) silently change the contract to lexicographic-over-
+    // payload and (b) require every input column to be ORDERABLE,
+    // rejecting e.g. map-typed payload columns at analysis time
+    // (spec-covered with a map column in SessionizeSpec).
+    val byTimeIdx = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
+      when(l.getField("_t") < r.getField("_t"), -1)
+        .when(l.getField("_t") > r.getField("_t"), 1)
+        .when(l.getField("_ti") < r.getField("_ti"), -1)
+        .when(l.getField("_ti") > r.getField("_ti"), 1)
+        .otherwise(0)
     val chunks = series
       .withColumn("_chunk", expr(s"turn_idx div ${chunkSize}L"))
       .groupBy(col("conv_id"), col("_chunk"))
-      .agg(sort_array(collect_list(
+      .agg(array_sort(collect_list(
         struct(col("turn_idx").as("_ti"), col("t").as("_t"),
-          payload.as("_row")))).as("pts"))
+          payload.as("_row"))), byTimeIdx).as("pts"))
     // (3) local loop: per-row cumulative intra-chunk gap count
     val cumU = udf((ts: Seq[Double]) => {
       val out = new Array[Long](ts.length)

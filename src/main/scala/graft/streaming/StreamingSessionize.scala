@@ -25,8 +25,13 @@ import org.apache.spark.sql.Dataset
  * Numbering across timeouts: a timeout flush leaves a TOMBSTONE
  * (empty session carrying the next index and last timestamp) behind
  * for one further `idleFlush` horizon, so a conversation resuming
- * within it continues the batch numbering (and the resume gap test
- * still applies against the pre-flush frontier). Beyond the tombstone
+ * within it continues the batch numbering. The tombstone branch needs
+ * no explicit gap test: a timeout only fires once the watermark is
+ * past tEnd + horizon (and horizon >= gap by construction), so every
+ * ON-TIME turn seen after the flush is necessarily > gap past the
+ * pre-flush frontier — it starts a new session in the batch operator
+ * too; late turns below the frontier are dropped by the same
+ * late-data policy as the open-session branch. Beyond the tombstone
  * horizon state is truly dropped and `session_idx` restarts at 0 —
  * the inherent watermark-bounded-state trade; `(conv_id, t_start)` is
  * the durable session key, and the batch rebuild is the reconciler.
@@ -71,7 +76,9 @@ object StreamingSessionize {
         if (st != null && st.nTurns > 0L) {
           // flush the open session; leave a tombstone carrying the next
           // index + frontier so a resume within one more horizon keeps
-          // the batch numbering (and the resume gap test)
+          // the batch numbering (no gap test needed on resume: the
+          // watermark is already past frontier + horizon >= gap, so
+          // any on-time resume is a new batch session by definition)
           state.update(SessionState(st.sessionIdx + 1, st.tEndMicros,
             st.tEndMicros, 0L, 0.0))
           state.setTimeoutTimestamp(

@@ -500,6 +500,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize accepts non-orderable (map-typed) payload columns") {
+    import spark.implicits._
+    // the chunk-buffer sort is keyed on (_t, _ti) via an array_sort
+    // comparator, so payload columns need not be ORDERABLE — a
+    // map-typed column (rejected by a sort_array over the full row
+    // struct at analysis time) must pass through unchanged
+    val turns = Seq(
+      ("A", 0, 0.0, Map("k" -> 1)), ("A", 1, 10.0, Map("k" -> 2)),
+      ("A", 2, 5010.0, Map("k" -> 3)))
+      .toDF("conv_id", "turn_idx", "t", "meta")
+    val out = graft.engine.Sessionize.assign(turns, gapSeconds = 1800.0)
+      .orderBy("turn_idx").collect()
+    assert(out.map(_.getLong(4)).toSeq == Seq(0L, 0L, 1L))
+    assert(out.map(_.getMap[String, Int](3)("k")).toSeq == Seq(1, 2, 3))
+  }
+
   test("sessionize handles a million-turn conversation with bounded window tasks") {
     // one adversarially long conversation; every corpus window task is
     // bounded by chunkSize rows by construction — the whole conv never
