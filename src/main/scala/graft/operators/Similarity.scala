@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -45,10 +44,35 @@ object Similarity {
     expr("vec_dot(qv, cv)") / (col("qn") * col("cn"))
   }
 
+  /** Per-query exact top-k ranking of scored candidate rows via the
+    * bounded-heap aggregate [[graft.plans.TopKAggExpr]] — NOT
+    * `row_number().over(Window.partitionBy(query_id))`: the window
+    * form funnels every candidate of a query through ONE sorting task
+    * (a full-corpus scan per query for the brute-force path), while
+    * the heap keeps k rows per query per map task, ships only
+    * k·queries rows through the shuffle, and never materializes more
+    * than k elements per group. Same output by construction (same
+    * (score desc, id asc) comparator; PlanSpec asserts no Window node
+    * survives in the physical plan). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val agg = graft.plans.TopKAggExpr(
+      GraftSqlBridge.expressionOf(col("cosine").cast("double")),
+      GraftSqlBridge.expressionOf(col("cand_id").cast("long")),
+      k)
+    scored.groupBy(col("query_id"))
+      .agg(GraftSqlBridge.aggColumn(agg).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("e"))
+      .select(col("query_id"), col("e.id").as("cand_id"),
+        col("e.score").as("cosine"), col("e.rank").as("rank"))
+  }
+
   /**
    * Exact brute-force top-k: for each query row, rank all candidate
    * rows by cosine (desc, id asc tie-break). Queries are broadcast —
-   * the candidate side stays partitioned, so the scan distributes.
+   * the candidate side stays partitioned, so the scan distributes —
+   * and ranking is the bounded-heap aggregate, so the exact baseline
+   * stays safe for large corpora and large query sets alike.
    */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("qv"))
@@ -57,11 +81,7 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("cosine", pairCosine(queries.sparkSession))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored.select(col("query_id"), col("cand_id"), col("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored.select(col("query_id"), col("cand_id"), col("cosine")), k)
   }
 
   // ---------------- IVF (inverted-file) ANN ----------------
@@ -143,20 +163,16 @@ object Similarity {
     *     the codegen'd `vec_dot`, and ranked per query. */
   private def fetchScoreRank(cands: DataFrame, vecs: DataFrame, k: Int,
       s: SparkSession): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
     val q = vecs.select(col("id").as("query_id"), col("v").as("qv"), col("n2").as("qn"))
     val c = vecs.select(col("id").as("cand_id"), col("v").as("cv"), col("n2").as("cn"))
-    cands
+    val scored = cands
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id")).distinct()
       .join(q, Seq("query_id"))
       .join(c, Seq("cand_id"))
       .withColumn("cosine", pairCosine(s))
       .select(col("query_id"), col("cand_id"), col("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /**

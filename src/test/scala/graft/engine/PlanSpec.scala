@@ -74,6 +74,24 @@ class PlanSpec extends AnyFunSuite {
       s"query side not broadcast:\n$plan")
   }
 
+  test("top-k ranking is a bounded-heap aggregate — no Window in any similarity plan") {
+    // row_number over Window.partitionBy(query_id) funnels each
+    // query's FULL candidate set through one sorting task; the
+    // bounded_top_k TypedImperativeAggregate keeps k rows per query
+    // per map task instead. Asserted for all three ranked paths.
+    val vecs = spark.range(200).select(col("id"),
+      array((0 until 8).map(i => rand(i)): _*).as("vec"))
+    val q = vecs.filter(col("id") < 4)
+    for ((name, df) <- Seq(
+        "brute" -> Similarity.bruteForceTopK(q, vecs, 3),
+        "lsh" -> Similarity.lshTopK(vecs, planes = 4, k = 3),
+        "ivf" -> Similarity.ivfTopK(vecs, k = 3, nCells = 4, iters = 0))) {
+      val plan = physicalPlan(df)
+      assert(!plan.contains("Window"), s"$name plan still windows:\n$plan")
+      assert(plan.contains("bounded_top_k"), s"$name plan lacks the heap aggregate:\n$plan")
+    }
+  }
+
   test("IVF centroid init plans as distributed TakeOrderedAndProject (no global sort exchange)") {
     val vecs = spark.range(200).select(col("id"),
       transform(array((0 until 8).map(i => rand(i)): _*), _.cast("double")).as("v"))

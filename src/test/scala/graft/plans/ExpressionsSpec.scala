@@ -84,4 +84,43 @@ class ExpressionsSpec extends AnyFunSuite {
       spark.sql("SELECT ln_erfc('not a double')").collect()
     }
   }
+
+  test("bounded-heap top-k equals the window ranking at any partitioning") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import spark.implicits._
+    // ties included on purpose: equal scores must rank by id ascending
+    val rng = new scala.util.Random(7)
+    val rows = for (q <- 0L until 7L; c <- 0L until 200L)
+      yield (q, c, math.rint(rng.nextDouble() * 20) / 20.0)
+    val expected = rows.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.sortBy(r => (-r._3, r._2)).take(5)
+        .zipWithIndex.map { case ((_, c, s), i) => (c, s, i + 1) }
+    }
+    for (parts <- Seq(1, 2, 16)) {
+      val df = spark.createDataset(rows).toDF("query_id", "cand_id", "cosine")
+        .repartition(parts)
+      val agg = TopKAggExpr(
+        GraftSqlBridge.expressionOf(col("cosine")),
+        GraftSqlBridge.expressionOf(col("cand_id")), 5)
+      val got = df.groupBy(col("query_id"))
+        .agg(GraftSqlBridge.aggColumn(agg).as("topk"))
+        .select(col("query_id"), explode(col("topk")).as("e"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) =>
+          q -> rs.map(r => (r.getStruct(1).getLong(0), r.getStruct(1).getDouble(1),
+            r.getStruct(1).getInt(2))).sortBy(_._3).toSeq
+        }
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("top-k buffer survives serialize/deserialize round-trips") {
+    val b = new TopKBuffer(3)
+    Seq((0.5, 10L), (0.9, 4L), (0.9, 2L), (0.1, 9L), (0.7, 1L))
+      .foreach { case (s, i) => b.insert(s, i) }
+    val expr = TopKAggExpr(null, null, 3)
+    val rt = expr.deserialize(expr.serialize(b))
+    assert(rt.sortedDesc().toSeq == Seq((2L, 0.9), (4L, 0.9), (1L, 0.7)))
+  }
 }
