@@ -233,60 +233,133 @@ object Similarity {
    * hyperplane signatures per vector (standard L-table LSH — a true
    * neighbor is a candidate if it collides in ANY table, recall
    * 1-(1-p^planes)^tables). One shuffle on the (table, bucket) key;
-   * per-bucket candidate sets are ~n / 2^planes. `planes <= 0` derives
-   * the plane count from the corpus size via [[autoPlanes]] — the
-   * count rides INSIDE the plan as a broadcast scalar (a 1-row
-   * aggregate cross-joined onto the corpus), not a separate
-   * `df.count()` action, so the whole query is one job.
+   * per-bucket candidate sets are ~reps / 2^planes. `planes <= 0`
+   * derives the plane count from the distinct-vector count via
+   * [[autoPlanes]] — the count rides INSIDE the plan as a broadcast
+   * scalar (a 1-row aggregate cross-joined onto the rep table), not a
+   * separate `df.count()` action, so the whole query is one job.
+   *
+   * Scale guards (the minhash operator's, ported — see [[lshTables]]):
+   * identical vectors collapse to a min-id representative BEFORE the
+   * bucket self-join and members attach as linear star candidates
+   * (member <-> rep, cluster-rep pairing — consumers resolve further
+   * neighbors transitively through the rep, exactly the
+   * [[Dedup.minHashLshPairs]] contract), and buckets holding more than
+   * `maxBucket` representatives are dropped from pairing
+   * (deterministically, observable via [[lshBucketOverflow]]).
    */
   def lshTopK(df: DataFrame, planes: Int, k: Int, tables: Int = 4,
-      seed: Long = 7L): DataFrame = {
-    val (base, withSig) = lshSignatures(df, planes, tables, seed)
-    val a = withSig.select(col("table"), col("bucket"), col("id").as("query_id"))
-    val b = withSig.select(col("table"), col("bucket"), col("id").as("cand_id"))
-    fetchScoreRank(a.join(b, Seq("table", "bucket")), base, k, df.sparkSession)
+      seed: Long = 7L, maxBucket: Int = 4096): DataFrame = {
+    val t = lshTables(df, planes, tables, seed)
+    val capped = capBuckets(t.withSig, maxBucket)
+    val a = capped.select(col("table"), col("bucket"), col("id").as("query_id"))
+    val b = capped.select(col("table"), col("bucket"), col("id").as("cand_id"))
+    val starCands = t.stars.select(col("rep").as("query_id"), col("id").as("cand_id"))
+      .unionByName(t.stars.select(col("id").as("query_id"), col("rep").as("cand_id")))
+    val cands = a.join(b, Seq("table", "bucket"))
+      .select(col("query_id"), col("cand_id"))
+      .unionByName(starCands)
+    fetchScoreRank(cands, t.base, k, df.sparkSession)
   }
 
-  /** Shared signature machinery of the hyperplane-LSH paths: returns
-    * (`base` with per-row vector + norm, `withSig` exploded to one row
-    * per (table, bucket)). In auto mode (planes <= 0) the corpus count
-    * rides the plan as a broadcast 1-row aggregate — no separate
-    * `df.count()` action. */
-  private def lshSignatures(df: DataFrame, planes: Int, tables: Int,
-      seed: Long): (DataFrame, DataFrame) = {
+  /** Shared signature + scale machinery of the hyperplane-LSH paths. */
+  private[operators] final case class LshTables(
+      base: DataFrame,    // (id, v, n2) — every input row
+      stars: DataFrame,   // (rep, id) — identical-vector members, rep = min id < id
+      withSig: DataFrame) // (table, bucket, id) — REPRESENTATIVES only
+
+  /** The hyperplane twin of the minhash signature-dedup
+    * (Dedup.minHashLshPairsFromSignatures step 1): hyperplane buckets
+    * are only a few bits wide, so unlike minhash the full signature
+    * cannot distinguish duplicates from neighbors — the collapse key
+    * is the VECTOR itself. Identical (double-cast) vectors group to a
+    * min-id representative via groupBy+join (partial aggregation
+    * combines map-side — a million-copy embedding, the normal case a
+    * near-dup pipeline meets, ships one (v, min_id) row per map
+    * partition and becomes n-1 linear star rows and ONE bucket
+    * occupant instead of an n² clique in EVERY table). Only reps are
+    * signed and bucketed; in auto mode the plane count derives from
+    * the rep count (buckets hold reps). The rep table is persisted —
+    * it feeds three unshared plan branches (stars, signatures, the
+    * auto-planes count) that would otherwise each recompute the
+    * corpus-wide vector groupBy; reclamation is by ContextCleaner
+    * once the plan is dropped (battery runs clear caches per query).
+    */
+  private def lshTables(df: DataFrame, planes: Int, tables: Int,
+      seed: Long): LshTables = {
     val sigsU = udf((v: Seq[Double], nRows: Long) => {
       val nPlanes = if (planes > 0) planes else autoPlanes(nRows)
       Array.tabulate(tables)(tb => hyperplaneSignature(v, nPlanes, seed + 1000L * tb))
     })
     val base = df.select(col("id"), asDouble(col("vec")).as("v"))
       .withColumn("n2", norm(col("v")))
+    val repByVec = base.groupBy(col("v")).agg(min(col("id")).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stars = base.select(col("id"), col("v")).join(repByVec, Seq("v"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep"), col("id"))
+    val reps = repByVec.select(col("rep").as("id"), col("v"))
     val tagged =
-      if (planes > 0) base.withColumn("_n", lit(0L))
-      else base.crossJoin(broadcast(df.select(count(lit(1)).as("_n"))))
+      if (planes > 0) reps.withColumn("_n", lit(0L))
+      else reps.crossJoin(broadcast(repByVec.select(count(lit(1)).as("_n"))))
     val withSig = tagged.select(col("id"),
       posexplode(sigsU(col("v"), col("_n"))).as(Seq("table", "bucket")))
-    (base, withSig)
+    LshTables(base, stars, withSig)
   }
+
+  /** Bucket cap over the rep signature table — groupBy count + join
+    * (map-side partial, no Window over the bucket key), the exact
+    * Dedup.minHashLshPairsFromSignatures step-3 shape: buckets holding
+    * more than `maxBucket` representatives leave the pairing space
+    * deterministically; what was dropped is observable via
+    * [[lshBucketOverflow]], never silent. */
+  private def capBuckets(withSig: DataFrame, maxBucket: Int): DataFrame = {
+    val small = withSig.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    withSig.join(small, Seq("table", "bucket"))
+  }
+
+  /** Observability for the bucket cap: (table, bucket, size) of every
+    * bucket whose REPRESENTATIVE population exceeds `maxBucket` — what
+    * [[lshTopK]]/[[lshCosinePairs]] drop at that cap. */
+  def lshBucketOverflow(df: DataFrame, planes: Int = -1, tables: Int = 4,
+      seed: Long = 7L, maxBucket: Int = 4096): DataFrame =
+    lshTables(df, planes, tables, seed).withSig
+      .groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBucket)
 
   /**
    * Undirected scored candidate pairs for embedding NEAR-DUP
-   * detection: every (id_a < id_b) pair colliding in at least one LSH
-   * table, with its exact cosine. Same 100 TB shape as [[lshTopK]] —
-   * the bucket self-join ships ids only, multi-table collisions dedupe
-   * on the narrow pair projection, vectors are fetched post-match and
-   * scored with the codegen'd `vec_dot`. Callers filter on a cosine
-   * threshold and feed [[graft.operators.Dedup.duplicateClusters]].
+   * detection: linear star pairs (rep, member) for every
+   * identical-vector group plus every (rep_a < rep_b) pair colliding
+   * in at least one capped LSH bucket, with exact cosines. Same
+   * 100 TB shape as [[lshTopK]] — the bucket self-join ships ids
+   * only, multi-table collisions dedupe on the narrow pair
+   * projection, vectors are fetched post-match and scored with the
+   * codegen'd `vec_dot`. Callers filter on a cosine threshold and
+   * feed [[graft.operators.Dedup.duplicateClusters]] — star pairs
+   * have cosine exactly 1.0-of-the-same-arithmetic, so identical
+   * vectors always survive any threshold <= 1 and the connected
+   * components match the uncollapsed form (members reach their rep's
+   * neighbors through the rep edge).
    */
   def lshCosinePairs(df: DataFrame, planes: Int = -1, tables: Int = 4,
-      seed: Long = 7L): DataFrame = {
-    val (base, withSig) = lshSignatures(df, planes, tables, seed)
-    val a = withSig.select(col("table"), col("bucket"), col("id").as("id_a"))
-    val b = withSig.select(col("table"), col("bucket"), col("id").as("id_b"))
-    val q = base.select(col("id").as("id_a"), col("v").as("qv"), col("n2").as("qn"))
-    val c = base.select(col("id").as("id_b"), col("v").as("cv"), col("n2").as("cn"))
-    a.join(b, Seq("table", "bucket"))
+      seed: Long = 7L, maxBucket: Int = 4096): DataFrame = {
+    val t = lshTables(df, planes, tables, seed)
+    val capped = capBuckets(t.withSig, maxBucket)
+    val a = capped.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val b = capped.select(col("table"), col("bucket"), col("id").as("id_b"))
+    val bucketPairs = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+    // rep = min id of its group, so star pairs are (id_a < id_b) too
+    val starPairs = t.stars.select(col("rep").as("id_a"), col("id").as("id_b"))
+    val q = t.base.select(col("id").as("id_a"), col("v").as("qv"), col("n2").as("qn"))
+    val c = t.base.select(col("id").as("id_b"), col("v").as("cv"), col("n2").as("cn"))
+    bucketPairs.unionByName(starPairs)
       .join(q, Seq("id_a"))
       .join(c, Seq("id_b"))
       .withColumn("cosine", pairCosine(df.sparkSession))

@@ -544,14 +544,23 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Shared CTE prefix of the hyperplane-LSH oracles (ANN top-k and
-    * near-dup clustering), ending with `scored(query_id, cand_id,
-    * cosine)` over every colliding DIRECTED pair: auto plane count,
-    * +-1 hyperplane components from the splitmix64 stream, sign
-    * signatures via in-order folds, multi-table bucket self-join,
-    * pair dedupe and exact cosine. Cosine is the engine's exact form
-    * (ascending-index dot / product of ascending-index norms), so
-    * doubles are bit-equal. */
+  /** Bucket cap the hyperplane-LSH oracle mirrors — must equal the
+    * Spark calls' default ([[Similarity.lshTopK]] maxBucket). */
+  private val LshMaxBucket = 4096
+
+  /** Shared CTE prefix of the hyperplane-LSH oracles (ANN top-k,
+    * near-dup clustering, bucket overflow), ending with
+    * `scored(query_id, cand_id, cosine)` over every DIRECTED candidate
+    * pair, mirroring the engine's scale guards exactly: identical
+    * vectors collapse to a min-id representative (`grp`) with linear
+    * star pairs (`stars`), the auto plane count derives from the REP
+    * count, only reps are signed and bucketed (`sig`), buckets over
+    * [[LshMaxBucket]] reps leave the pairing space (`keep`), and the
+    * candidate set is capped bucket collisions plus the star pairs in
+    * both directions. +-1 hyperplane components come from the
+    * splitmix64 stream; sign signatures are in-order folds; cosine is
+    * the engine's exact form (ascending-index dot / product of
+    * ascending-index norms), so doubles are bit-equal. */
   private val sqlEmbedLshCtes: String = {
     import DuckMacros._
     // component key: mix64(seed ^ (p << 32) ^ d), seed = 7 + 1000*tb
@@ -563,9 +572,14 @@ object PipelineQueries {
        |         sqrt(list_reduce(list_prepend(0.0,
        |           list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
        |        FROM e),
+       | -- identical-vector collapse: min-id rep per distinct vector
+       | grp AS (SELECT v AS gv, min(id) AS rep FROM e GROUP BY v),
+       | stars AS (SELECT g.rep AS id_a, e.id AS id_b
+       |           FROM e JOIN grp g ON e.v = g.gv WHERE e.id <> g.rep),
+       | -- auto planes from the REP count (buckets hold reps)
        | pl AS (SELECT GREATEST(2, LEAST(24,
        |          CAST(ceil(ln(GREATEST(1.0, count(*) / 64.0)) / ln(2)) AS INT))) AS planes
-       |        FROM e),
+       |        FROM grp),
        | -- dims derived from the data (the Spark side iterates
        | -- vec.length), never hardcoded
        | tpd AS (SELECT tb, unnest(range(0, planes)) AS p, d
@@ -575,24 +589,33 @@ object PipelineQueries {
        |           CASE WHEN ${bit64("ch", "0")} = 0 THEN 1.0 ELSE -1.0 END AS c
        |          FROM $comps),
        | cl AS (SELECT tb, p, list(c ORDER BY d) AS cs FROM comp GROUP BY tb, p),
+       | rp AS (SELECT rep AS id, gv AS v FROM grp),
        | sg AS (SELECT id, tb, p,
        |         list_reduce(list_prepend(0.0,
        |           list_transform(range(1, len(v) + 1), k -> v[k] * cs[k])),
        |           (a, x) -> a + x) AS s
-       |        FROM e2, cl),
+       |        FROM rp, cl),
        | sig AS (SELECT id, tb,
        |          CAST(sum(CASE WHEN s > 0.0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS INT)
        |            AS bucket
        |         FROM sg GROUP BY id, tb),
+       | -- bucket cap: REP population per (table, bucket)
+       | bsz AS (SELECT tb, bucket, count(*) AS bc FROM sig GROUP BY 1, 2),
+       | keep AS (SELECT s.id, s.tb, s.bucket FROM sig s
+       |          JOIN bsz ON bsz.tb = s.tb AND bsz.bucket = s.bucket
+       |          WHERE bsz.bc <= $LshMaxBucket),
        | joined AS (SELECT a.id AS query_id, b.id AS cand_id
-       |            FROM sig a JOIN sig b ON a.tb = b.tb AND a.bucket = b.bucket
+       |            FROM keep a JOIN keep b ON a.tb = b.tb AND a.bucket = b.bucket
        |              AND a.id <> b.id
        |            GROUP BY 1, 2),
+       | allc AS (SELECT query_id, cand_id FROM joined
+       |          UNION SELECT id_a, id_b FROM stars
+       |          UNION SELECT id_b, id_a FROM stars),
        | scored AS (SELECT j.query_id, j.cand_id,
        |             list_reduce(list_prepend(0.0,
        |               list_transform(range(1, len(qa.v) + 1), k -> qa.v[k] * qb.v[k])),
        |               (a, x) -> a + x) / (qa.nrm * qb.nrm) AS cosine
-       |            FROM joined j JOIN e2 qa ON qa.id = j.query_id
+       |            FROM allc j JOIN e2 qa ON qa.id = j.query_id
        |            JOIN e2 qb ON qb.id = j.cand_id)""".stripMargin
   }
 
@@ -650,6 +673,23 @@ object PipelineQueries {
        |SELECT l.id AS vec_id, l.cluster_id,
        | count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
        |FROM lab l ORDER BY vec_id""".stripMargin
+
+  /** Bucket-cap observability for the hyperplane-LSH paths
+    * ([[Similarity.lshBucketOverflow]]): every (table, bucket) whose
+    * REPRESENTATIVE population exceeds the threshold — what the capped
+    * pair join would drop at that cap, never silently. Run at
+    * maxBucket=1 so bucket collisions are visible in CI on the test
+    * corpus (mirrors q_docs_minhash_overflow). */
+  private def qEmbedLshOverflow(s: SparkSession, dir: String): DataFrame = {
+    val all = embeds(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.lshBucketOverflow(all, planes = -1, tables = 4, maxBucket = 1)
+      .orderBy(col("table"), col("bucket"))
+  }
+
+  private val sqlEmbedLshOverflow: String =
+    s"""WITH $sqlEmbedLshCtes
+       |SELECT tb AS "table", bucket, count(*) AS size FROM sig
+       |GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY "table", bucket""".stripMargin
 
   /** IVF ANN (inverted file over a deterministic coarse quantizer,
     * multi-probe) — the second named scale path. The driver query
@@ -946,6 +986,7 @@ object PipelineQueries {
     "q_embed_topk" -> qEmbedTopK _,
     "q_embed_ann_lsh" -> qEmbedAnnLsh _,
     "q_embed_neardup" -> qEmbedNearDup _,
+    "q_embed_lsh_overflow" -> qEmbedLshOverflow _,
     "q_embed_ivf" -> qEmbedIvf _,
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
@@ -968,6 +1009,7 @@ object PipelineQueries {
     "q_embed_topk" -> sqlEmbedTopK,
     "q_embed_ann_lsh" -> sqlEmbedAnnLsh,
     "q_embed_neardup" -> sqlEmbedNearDup,
+    "q_embed_lsh_overflow" -> sqlEmbedLshOverflow,
     "q_embed_ivf" -> sqlEmbedIvf,
     "q_multimodal_meta" -> sqlMultimodalMeta,
     "q_multimodal_decode" -> sqlMultimodalDecode,

@@ -125,11 +125,16 @@ class PlanSpec extends AnyFunSuite {
           case _ => Seq.empty
         }
         val carriesVector = e.output.exists(_.dataType.isInstanceOf[ArrayType])
-        // the ONLY exchanges allowed to carry a vector are the id-keyed
-        // payload fetches (one row per vector, not per candidate pair)
+        // the ONLY exchanges allowed to carry a vector are (a) the
+        // id-keyed payload fetches (one row per vector, not per
+        // candidate pair) and (b) the identical-vector COLLAPSE
+        // aggregate, whose partitioning key IS the vector — a linear,
+        // partial-aggregated exchange (≤ one (v, min_id) row per
+        // distinct vector per map partition), not a bucket fan-out
         val isPayloadFetch =
           keys.toSet.subsetOf(Set("query_id", "cand_id", "id")) && keys.nonEmpty
-        assert(!carriesVector || isPayloadFetch,
+        val isCollapseByVector = keys == Seq("v")
+        assert(!carriesVector || isPayloadFetch || isCollapseByVector,
           s"[$name] vector rides a non-id exchange keyed by $keys:\n" +
             e.output.map(_.name).mkString(","))
       }

@@ -313,6 +313,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(cos.forall(c => c >= -1.0000001 && c <= 1.0000001))
   }
 
+  test("hyperplane LSH: 1000 identical embeddings collapse to linear star pairs") {
+    import spark.implicits._
+    // the normal near-dup case: a corpus dominated by one duplicated
+    // vector. Identical vectors collide in EVERY table at any plane
+    // count, so without the collapse the ids-only self-join emits
+    // ~n²/2 pairs per table; with it, n-1 star pairs and ONE bucket
+    // occupant (the minhash guard ported to vectors)
+    val v = Array.tabulate(16)(d => math.sin(d + 1.0))
+    val dupes = (0L until 1000L).map(i => (i, v))
+    val distinct = (2000L until 2010L).map(i =>
+      (i, Array.tabulate(16)(d => math.cos(d * (i - 1999.0)))))
+    val df = (dupes ++ distinct).toDF("id", "vec")
+    val t0 = System.nanoTime()
+    val pairs = Similarity.lshCosinePairs(df, planes = -1, tables = 4).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val cliquePairs = pairs.filter(r => r.getLong(0) < 1000L && r.getLong(1) < 1000L)
+    assert(cliquePairs.length == 999,
+      s"expected 999 linear star pairs for the clique, got ${cliquePairs.length}")
+    assert(cliquePairs.forall(_.getLong(0) == 0L), "star pairs must anchor at the min-id rep")
+    assert(cliquePairs.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-12))
+    assert(secs < 30.0, s"duplicate-heavy corpus took ${secs}s - bucket blowup?")
+    // member top-k resolves to its rep (cluster-rep pairing contract)
+    val top = Similarity.lshTopK(df, planes = -1, k = 1, tables = 4)
+      .filter(col("query_id") === 500L).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 0L)
+  }
+
+  test("hyperplane LSH: oversized buckets are capped and reported, not exploded") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    // 60 DISTINCT vectors built around one direction: most land in the
+    // same sign-signature buckets without being identical, so the
+    // identical-vector collapse cannot help — only the cap can
+    val anchor = Array.fill(16)(rng.nextGaussian())
+    val df = (0L until 60L).map { i =>
+      (i, anchor.map(x => x * (1.0 + 0.001 * (i + 1))))
+    }.toDF("id", "vec")
+    val overflow = Similarity.lshBucketOverflow(df, planes = 3, tables = 4, maxBucket = 8)
+    assert(overflow.count() > 0, "expected at least one overflowing bucket")
+    val capped = Similarity.lshCosinePairs(df, planes = 3, tables = 4, maxBucket = 8).count()
+    val uncapped = Similarity.lshCosinePairs(df, planes = 3, tables = 4).count()
+    assert(capped < uncapped, s"cap had no effect: $capped vs $uncapped")
+  }
+
   test("fingerprint is word-order and repetition invariant") {
     import spark.implicits._
     val df = Seq(
