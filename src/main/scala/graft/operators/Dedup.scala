@@ -28,9 +28,16 @@ object Dedup {
     * the lambda once per element per element_at (higher-order
     * functions are interpreted with no common-subexpression
     * elimination) — O(len²) string splitting per document. Zipping
-    * shifted `slice`s evaluates the split O(n) times per row total. */
+    * shifted `slice`s evaluates the split O(n) times per row total.
+    *
+    * Tokenization splits on WHITESPACE RUNS (`\s+`), not single
+    * spaces: real corpora carry double spaces / tabs, and a
+    * single-space split would mint empty tokens and shingles like
+    * `"foo "` that break cross-document matching (a doc differing
+    * only in spacing would never pair with its clone). Mirrored by
+    * `regexp_split_to_array(trim(text), '\s+')` in the oracles. */
   def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), " ")
+    val toks = split(trim(text), "\\s+")
     val nShingles = size(toks) - (n - 1)
     def shifted(k: Int): Column = slice(toks, lit(k + 1), nShingles)
     val joined = (1 until n).foldLeft(shifted(0)) { (acc, k) =>

@@ -190,7 +190,7 @@ object PipelineQueries {
   }
 
   private val sqlNgramJaccard =
-    s"""WITH g AS (SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
+    s"""WITH g AS (SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\\s+') AS toks
        |           FROM documents),
        | sh AS (SELECT doc_id, lang, source,
        |         list_distinct(CASE WHEN len(toks) >= 2
@@ -230,7 +230,7 @@ object PipelineQueries {
       .orderBy(col("lang"), col("source"), col("g"))
 
   private val sqlNgramHotShingles =
-    s"""WITH g AS (SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
+    s"""WITH g AS (SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\\s+') AS toks
        |           FROM documents),
        | sh AS (SELECT doc_id, lang, source,
        |         list_distinct(CASE WHEN len(toks) >= 2
@@ -371,7 +371,7 @@ object PipelineQueries {
        |              THEN list_transform(generate_series(1, len(toks) - 1),
        |                   k -> toks[k] || ' ' || toks[k + 1])
        |              ELSE [] END) AS sh
-       |           FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+       |           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |                 FROM documents)),
        | post AS (SELECT id, unnest(sh) AS w FROM g),
        | hh AS (SELECT * FROM $hh),
@@ -858,7 +858,7 @@ object PipelineQueries {
   }
 
   private val sqlDecontaminate =
-    s"""WITH g AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
+    s"""WITH g AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
        |           FROM documents),
        | sh AS (SELECT doc_id, lang,
        |         list_distinct(CASE WHEN len(toks) >= $DecontamN

@@ -51,6 +51,27 @@ class PipelineSpec extends AnyFunSuite {
     pairs.filter(_._4 > 0.9).foreach(p => assert(p._3 >= 0.5, s"est too low: $p"))
   }
 
+  test("shingling splits on whitespace runs — a respaced clone pairs with its original") {
+    import spark.implicits._
+    val got = Seq(1).toDF("x")
+      .select(Dedup.wordShingles(lit("foo  bar\tbaz qux"), 2).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(got.toSet == Set("foo bar", "bar baz", "baz qux"),
+      s"double space / tab minted bad shingles: $got")
+    // a clone differing only in spacing must minhash-pair with its
+    // original at exact jaccard 1.0 (single-space splitting minted
+    // empty tokens and "word "-style shingles that never matched)
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha  beta gamma\tdelta epsilon  zeta"),
+      (2L, "totally different words over here entirely now")).toDF("id", "text")
+      .withColumn("shingles", Dedup.wordShingles(col("text"), 2))
+    val pairs = Dedup.minHashLshPairs(df, k = 16, bands = 4).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L &&
+        r.getDouble(3) == 1.0),
+      s"respaced clone did not pair: ${pairs.mkString(";")}")
+  }
+
   test("minhash-LSH: 1000 identical docs collapse to linear star pairs, no B² bucket") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta eta theta " * 5
