@@ -183,8 +183,18 @@ object Similarity {
    * named alternative scale path to hyperplane LSH.
    */
   def ivfTopK(df: DataFrame, k: Int, nCells: Int, nProbe: Int = 2,
-      iters: Int = 3): DataFrame = {
-    val centroids = trainIvfCentroids(df, nCells, iters)
+      iters: Int = 3): DataFrame =
+    ivfTopKWith(df, trainIvfCentroids(df, nCells, iters), k, nProbe)
+
+  /** [[ivfTopK]] with ONE deterministic Lloyd refinement of the init
+    * centroids ([[trainIvfCentroidsLloyd1]]) — the oracle-able
+    * refinement path (q_embed_ivf_lloyd). */
+  def ivfTopKLloyd(df: DataFrame, k: Int, nCells: Int, nProbe: Int = 2): DataFrame =
+    ivfTopKWith(df, trainIvfCentroidsLloyd1(df, nCells), k, nProbe)
+
+  /** The IVF query tail over an explicit centroid matrix. */
+  private def ivfTopKWith(df: DataFrame, centroids: Array[Array[Double]],
+      k: Int, nProbe: Int): DataFrame = {
     val assignU = udf((v: Seq[Double]) => nearestCentroid(v.toArray, centroids)._1)
     val probeU = udf((v: Seq[Double]) => probeCells(v.toArray, centroids, nProbe))
     val base = df.select(col("id"), asDouble(col("vec")).as("v"))
@@ -194,6 +204,45 @@ object Similarity {
     val queries = base.select(col("id").as("query_id"),
       explode(probeU(col("v"))).as("cell"))
     fetchScoreRank(queries.join(inverted, Seq("cell")), base, k, df.sparkSession)
+  }
+
+  /** ONE Lloyd refinement of the init centroids, DETERMINISTICALLY:
+    * members are assigned to their argmax-cosine init cell, and each
+    * cell's new centroid is the member mean summed IN ID ORDER via the
+    * engine's sorted-buffer pattern (`sort_array(collect_list(struct(
+    * id, v)))` + an in-order fold). The generic [[trainIvfCentroids]]
+    * Lloyd step sums cell members in DISTRIBUTED partial order —
+    * faster, but summation-order-dependent, so no value oracle can
+    * mirror it; this form trades the map-side combine for bit
+    * reproducibility (`list(v[d] ORDER BY id)` + a pure fold in SQL
+    * reproduces the JVM loop exactly). Cell buffers are bounded by
+    * ~n/nCells on hash-dispersed corpora — the documented collect
+    * bound, same class as the per-series kernels. Empty cells keep
+    * their init centroid (mirrors the generic step's getOrElse). */
+  def trainIvfCentroidsLloyd1(df: DataFrame, k: Int): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col("id"), asDouble(col("vec")).as("v"))
+    val init = centroidInitSample(vecs, k).as[Seq[Double]].collect().map(_.toArray)
+    val assignU = udf((v: Seq[Double]) => nearestCentroid(v.toArray, init)._1)
+    val meanU = udf((pts: Seq[org.apache.spark.sql.Row]) => {
+      val d = pts.head.getSeq[Double](1).length
+      val acc = new Array[Double](d)
+      pts.foreach { p =>
+        val v = p.getSeq[Double](1)
+        var i = 0
+        while (i < d) { acc(i) += v(i); i += 1 }
+      }
+      acc.map(_ / pts.length)
+    })
+    val refined = vecs.withColumn("cell", assignU(col("v")))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("pts"))
+      .select(col("cell"), meanU(col("pts")).as("mean"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Double]]("mean").toArray)
+      .toMap
+    Array.tabulate(k)(i => refined.getOrElse(i, init(i)))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):

@@ -692,12 +692,12 @@ object PipelineQueries {
        |GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY "table", bucket""".stripMargin
 
   /** IVF ANN (inverted file over a deterministic coarse quantizer,
-    * multi-probe) — the second named scale path. The driver query
-    * runs `iters = 0` (init-only centroids: the k smallest-mix64(id)
-    * vectors) so every float is bit-reproducible in the SQL oracle;
-    * Lloyd refinement is covered by PipelineSpec's recall tests (its
-    * distributed partial sums are summation-order-dependent, which a
-    * value-hash oracle can't mirror). */
+    * multi-probe) — the second named scale path. This entry runs
+    * `iters = 0` (init-only centroids: the k smallest-mix64(id)
+    * vectors); the GENERIC distributed Lloyd step stays covered by
+    * PipelineSpec's recall tests (its partial-sum order is
+    * unmirrorable), and the deterministic one-step refinement is
+    * value-oracled end-to-end by q_embed_ivf_lloyd below. */
   private def qEmbedIvf(s: SparkSession, dir: String): DataFrame = {
     val all = embeds(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
     Similarity.ivfTopK(all, k = 3, nCells = 16, nProbe = 2, iters = 0)
@@ -729,6 +729,85 @@ object PipelineQueries {
        | cellcos AS (SELECT e2.id, cents.cell,
        |              ${dotf("e2.v", "cents.cv")} / sqrt(e2.na * cents.cnb) AS cos
        |             FROM e2, cents),
+       | assign AS (SELECT id, cell FROM (SELECT id, cell,
+       |             row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell) AS rk
+       |            FROM cellcos) WHERE rk = 1),
+       | probes AS (SELECT id, cell FROM (SELECT id, cell,
+       |             row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell) AS rk
+       |            FROM cellcos) WHERE rk <= 2),
+       | joined AS (SELECT q.id AS query_id, a.id AS cand_id
+       |            FROM probes q JOIN assign a ON q.cell = a.cell AND q.id <> a.id
+       |            GROUP BY 1, 2),
+       | scored AS (SELECT j.query_id, j.cand_id,
+       |             ${dotf("qa.v", "qb.v")} / (qa.nrm * qb.nrm) AS cosine
+       |            FROM joined j JOIN e2 qa ON qa.id = j.query_id
+       |            JOIN e2 qb ON qb.id = j.cand_id),
+       | ranked AS (SELECT query_id, cand_id, cosine,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cosine DESC, cand_id) AS rank
+       |            FROM scored)
+       |SELECT query_id, cand_id, round(cosine, 6) + 0 AS cosine, rank
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF with ONE deterministic Lloyd refinement
+    * ([[Similarity.ivfTopKLloyd]]): cell means summed in id order via
+    * the sorted-buffer pattern, so — unlike the generic distributed
+    * Lloyd step, whose partial-sum order no oracle can mirror — the
+    * refined centroids and every downstream float are bit-reproducible
+    * in SQL. Closes the refinement-oracle gap q_embed_ivf's iters=0
+    * left open. */
+  private def qEmbedIvfLloyd(s: SparkSession, dir: String): DataFrame = {
+    val all = embeds(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfTopKLloyd(all, k = 3, nCells = 16, nProbe = 2)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Full value oracle for the Lloyd-refined IVF query: init centroids
+    * (16 smallest mix64(id)), argmax-cosine assignment to init cells,
+    * per-cell per-dim member sums folded IN ID ORDER (`list(v[d] ORDER
+    * BY id)` + a pure fold — bit-equal to the JVM loop), mean = sum/n,
+    * empty cells keep their init centroid, then the standard
+    * assign/probe/score/rank tail over the REFINED centroids. */
+  private val sqlEmbedIvfLloyd: String = {
+    import DuckMacros._
+    val mixed = mix64Stages(
+      "(SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, " +
+        "CAST(vec_id AS BIGINT) AS h0 FROM embeddings)", "h0", "h", Seq("id", "v"))
+    def dotf(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), " +
+        s"k -> ($a)[k] * ($b)[k])), (x, y) -> x + y)"
+    def sqf(a: String) =
+      s"list_reduce(list_prepend(0.0, list_transform($a, x -> x * x)), (x, y) -> x + y)"
+    s"""WITH em AS (SELECT * FROM $mixed),
+       | cents0 AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS cell, v AS cv,
+       |             ${sqf("v")} AS cnb
+       |            FROM em QUALIFY row_number() OVER (ORDER BY h, id) <= 16),
+       | e2 AS (SELECT id, v, ${sqf("v")} AS na, sqrt(${sqf("v")}) AS nrm FROM em),
+       | cellcos0 AS (SELECT e2.id, cents0.cell,
+       |               ${dotf("e2.v", "cents0.cv")} / sqrt(e2.na * cents0.cnb) AS cos
+       |              FROM e2, cents0),
+       | assign0 AS (SELECT id, cell FROM (SELECT id, cell,
+       |              row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell) AS rk
+       |             FROM cellcos0) WHERE rk = 1),
+       | mem AS (SELECT a.cell, e2.id, e2.v FROM assign0 a JOIN e2 ON e2.id = a.id),
+       | dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM em) + 1)) AS d),
+       | -- per-cell per-dim member sum folded in id order: bit-equal
+       | -- to the engine's sorted-buffer accumulation
+       | sums AS (SELECT cell, d,
+       |           list_reduce(list_prepend(0.0, list(v[d] ORDER BY id)),
+       |             (x, y) -> x + y) AS s,
+       |           count(*) AS n
+       |          FROM mem, dims GROUP BY cell, d),
+       | refined AS (SELECT cell, list(s / n ORDER BY d) AS cv FROM sums GROUP BY cell),
+       | cents1 AS (SELECT c.cell, coalesce(r.cv, c.cv) AS cv,
+       |             ${sqf("coalesce(r.cv, c.cv)")} AS cnb
+       |            FROM cents0 c LEFT JOIN refined r ON r.cell = c.cell),
+       | cellcos AS (SELECT e2.id, cents1.cell,
+       |              ${dotf("e2.v", "cents1.cv")} / sqrt(e2.na * cents1.cnb) AS cos
+       |             FROM e2, cents1),
        | assign AS (SELECT id, cell FROM (SELECT id, cell,
        |             row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell) AS rk
        |            FROM cellcos) WHERE rk = 1),
@@ -988,6 +1067,7 @@ object PipelineQueries {
     "q_embed_neardup" -> qEmbedNearDup _,
     "q_embed_lsh_overflow" -> qEmbedLshOverflow _,
     "q_embed_ivf" -> qEmbedIvf _,
+    "q_embed_ivf_lloyd" -> qEmbedIvfLloyd _,
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
     "q_multimodal_sniff" -> qMultimodalSniff _)
@@ -1011,6 +1091,7 @@ object PipelineQueries {
     "q_embed_neardup" -> sqlEmbedNearDup,
     "q_embed_lsh_overflow" -> sqlEmbedLshOverflow,
     "q_embed_ivf" -> sqlEmbedIvf,
+    "q_embed_ivf_lloyd" -> sqlEmbedIvfLloyd,
     "q_multimodal_meta" -> sqlMultimodalMeta,
     "q_multimodal_decode" -> sqlMultimodalDecode,
     "q_multimodal_sniff" -> sqlMultimodalSniff)

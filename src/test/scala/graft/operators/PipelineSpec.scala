@@ -309,6 +309,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(r4 > 0.5, s"recall@5 with 4/8 cells probed: $r4")
   }
 
+  test("deterministic Lloyd step bit-matches a local in-id-order reference") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val data = (0L until 100L).map(i => (i, Array.fill(8)(rng.nextGaussian())))
+    val df = data.toDF("id", "vec").repartition(7) // partial order must not matter
+    val k = 5
+    val got = Similarity.trainIvfCentroidsLloyd1(df, k)
+    // local reference: same init, argmax-cosine assign, id-order mean
+    val vecs = df.select(col("id"), Similarity.asDouble(col("vec")).as("v"))
+    val init = Similarity.centroidInitSample(vecs, k)
+      .as[Seq[Double]].collect().map(_.toArray)
+    val byCell = data.sortBy(_._1)
+      .groupBy { case (_, v) => Similarity.nearestCentroid(v, init)._1 }
+    val expect = Array.tabulate(k) { c =>
+      byCell.get(c) match {
+        case Some(ms) =>
+          val acc = new Array[Double](8)
+          ms.foreach { case (_, v) => (0 until 8).foreach(i => acc(i) += v(i)) }
+          acc.map(_ / ms.length)
+        case None => init(c)
+      }
+    }
+    (0 until k).foreach { c =>
+      assert(got(c).toSeq.map(java.lang.Double.doubleToLongBits) ==
+        expect(c).toSeq.map(java.lang.Double.doubleToLongBits), s"cell $c not bit-equal")
+    }
+  }
+
   test("embedding near-dup: planted near-identical vectors cluster, distant ones stay apart") {
     import spark.implicits._
     val rng = new scala.util.Random(17)
