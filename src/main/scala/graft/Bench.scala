@@ -83,57 +83,63 @@ object Bench {
     * Efficiency = thr(8) / (4 x thr(2)), plus the 1m-stage-only
     * efficiency (the data-dominant stage at fleet scale; the 1h/1d
     * cascade stages are seconds-long here and carry per-stage fixed
-    * costs that vanish at real input sizes). */
+    * costs that vanish at real input sizes). Every measurement runs
+    * in its OWN fresh driver JVM ([[ClusterRound]]) — the round-2/3/4
+    * artifacts shared Bench's driver across rounds and its heap bloat
+    * degraded exactly the scheduling-sensitive 8-executor level. */
   private def runClusterPhase(inPath: String, turns: Long): String = {
     if (sys.env.contains("SPARK_GRAFT_SKIP_CLUSTER")) return "null"
-    def clusterSession(executors: Int): SparkSession = {
-      val appCp = new java.io.File("target/scala-2.13/classes").getAbsolutePath
-      val s = SparkSession.builder()
-        .master(s"local-cluster[$executors,1,9216]")
-        .config("spark.executor.memory", "4g")
-        .config("spark.executor.extraClassPath", appCp)
-        .config("spark.sql.shuffle.partitions", 64)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "6m")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
     try {
-      def staged(s: SparkSession, in: String, out: String): (Double, Double) = {
-        val t0 = System.nanoTime()
-        val series = Transcripts.series(s.read.parquet(in))
-        Rollup.tierFromTurns(series, 60L).write.mode("overwrite").parquet(s"$out/tier=1m")
-        val t1 = System.nanoTime()
-        Rollup.tierFromTier(s.read.parquet(s"$out/tier=1m"), 3600L)
-          .write.mode("overwrite").parquet(s"$out/tier=1h")
-        Rollup.tierFromTier(s.read.parquet(s"$out/tier=1h"), 86400L)
-          .write.mode("overwrite").parquet(s"$out/tier=1d")
-        ((System.nanoTime() - t0) / 1e9, (t1 - t0) / 1e9)
+      // ONE measurement = one FRESH DRIVER JVM (graft.ClusterRound):
+      // measured rounds 2-4, a driver that has hosted prior Spark
+      // sessions schedules tasks slower (heap bloat, cost scaling with
+      // executor count) and the recorded efficiency drifted down two
+      // rounds in a row on an unchanged rollup path. The child
+      // inherits this JVM's module flags/classpath but gets a small
+      // fresh heap (the cluster driver only coordinates — executors
+      // carry the data).
+      def runChild(execs: Int): Option[(Double, Double)] = {
+        import scala.jdk.CollectionConverters._
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        val keepFlags = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala
+          .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
+        val cmd = Seq(javaBin) ++ keepFlags ++ Seq("-Xmx12g", "-Xms2g",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.ClusterRound", execs.toString, inPath, "target/bench")
+        val pb = new ProcessBuilder(cmd.asJava)
+        // child stderr (Spark WARN noise) flows to the parent's stderr
+        // — draining it live prevents a pipe-full deadlock and keeps
+        // failures visible in the sbt console
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        pb.environment().put("SPARK_HOME",
+          sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+        pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        val rc = p.waitFor()
+        val Res = """CLUSTER_RESULT total=([0-9.]+) s1m=([0-9.]+)""".r
+        Res.findFirstMatchIn(out).map(m =>
+          (m.group(1).toDouble, m.group(2).toDouble)) match {
+          case some @ Some(_) if rc == 0 => some
+          case _ =>
+            System.err.println(s"[bench] cluster child ($execs execs) rc=$rc")
+            None
+        }
       }
-      // Best-of-N INTERLEAVED rounds per level (the same protocol the
-      // thread-level phase already follows): this host drifts 15-20%
-      // over minutes and the 8-executor level carries ±0.07 run-to-run
-      // spread — a single pairing can read under the gate while the
-      // protocol number passes. Every session is a FRESH set of
-      // executor JVMs, so each runs its own discarded warm-up build.
+      // Best-of-N INTERLEAVED rounds per level: this host drifts
+      // 15-20% over minutes and the 8-executor level carries ±0.07
+      // run-to-run spread — a single pairing can read under the gate
+      // while the protocol number passes. Each child runs its own
+      // discarded warm-up build on its fresh executor JVMs.
       val rounds = math.max(1,
         sys.env.getOrElse("SPARK_GRAFT_CLUSTER_ROUNDS", "3").toInt)
       val best = scala.collection.mutable.Map.empty[Int, (Double, Double)]
       for (_ <- 1 to rounds; e <- Seq(8, 2)) {
-        val s = clusterSession(e)
-        try {
-          staged(s, inPath, s"target/bench/cwarm_$e") // fresh-JVM warm-up, discarded
-          val m = staged(s, inPath, s"target/bench/ctiers_$e")
+        runChild(e).foreach { m =>
           if (!best.contains(e) || m._1 < best(e)._1) best(e) = m
-        } finally {
-          s.stop()
-          Thread.sleep(5000)
         }
+        Thread.sleep(3000)
       }
       val byExec = best.toMap
       val thrN = turns / byExec(2)._1
@@ -186,19 +192,36 @@ object Bench {
 
     // ---- phase 2: driver query battery ----
     // (SPARK_GRAFT_SKIP_QUERIES=1 skips it while iterating on scaling)
+    // Each query runs twice CONSECUTIVELY: `queries` records the cold
+    // first pass (plan + codegen + cache materialization — the
+    // one-shot cost), `queries_steady` the second (post-JIT, warm
+    // internal caches — the recurring cost a production session pays,
+    // and the number to compare across rounds: cold single-pass
+    // deltas kept conflating host drift + JIT with plan changes).
+    // Caches are cleared BETWEEN queries so the battery's footprint
+    // stays bounded and each steady pass only reuses its own query's
+    // persists.
     val sparkQ = session(cpus)
-    val results =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Map.empty[String, Double]
+    val (results, resultsSteady) =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES"))
+        (Map.empty[String, Double], Map.empty[String, Double])
       else {
         // JVM/codegen warm-up so the first timed query isn't charged
         // ~5-7 s of JIT + parquet-footer + codegen compilation
         try SparkEntry.queries.get("q_simple_stats").foreach(_(sparkQ, sfDir).count())
         catch { case _: Throwable => () }
-        SparkEntry.queries.map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try { fn(sparkQ, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+        val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        val steady = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        SparkEntry.queries.foreach { case (name, fn) =>
+          for (pass <- 1 to 2) {
+            val t0 = System.nanoTime()
+            try { fn(sparkQ, sfDir).count() } catch { case _: Throwable => -1L }
+            val secs = (System.nanoTime() - t0) / 1e9
+            (if (pass == 1) cold else steady) += name -> secs
+          }
+          sparkQ.catalog.clearCache()
         }
+        (cold.toMap, steady.toMap)
       }
     sparkQ.stop()
 
@@ -250,9 +273,12 @@ object Bench {
     val effMax = thrMax / ((cpus.toDouble / nLow) * thrN)
     val _ = lowCpus
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def qJson(m: Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = qJson(results)
+    val qsSteady = qJson(resultsSteady)
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val totalSteady = if (resultsSteady.nonEmpty) resultsSteady.values.sum else 0.0
     val rollup =
       s"""{"turns":$nTurns,"cpus_n":$nLow,"cpus_4n":$nMid,"cpus_max":$cpus,""" +
         s""""secs_n":${f"$secsN%.3f"},"secs_4n":${f"$secs4N%.3f"},"secs_max":${f"$secsMax%.3f"},""" +
@@ -264,6 +290,8 @@ object Bench {
         s""""partition_metrics_max":$metricsMax,"cluster":$clusterBlock}"""
     println(
       s"""{"metric":"rollup_turns_per_sec","value":${f"$thrMax%.1f"},"unit":"turns/sec",""" +
-        s""""queries":$qs,"total_query_sec":${f"$total%.3f"},"rollup":$rollup,"sf":"$sfDir"}""")
+        s""""queries":$qs,"total_query_sec":${f"$total%.3f"},""" +
+        s""""queries_steady":$qsSteady,"total_query_steady_sec":${f"$totalSteady%.3f"},""" +
+        s""""rollup":$rollup,"sf":"$sfDir"}""")
   }
 }
