@@ -760,6 +760,73 @@ object EventQueries {
        |FROM g2 ORDER BY user_id""".stripMargin
   }
 
+  /** The f32 flavor of the Bins meta-feature
+    * ([[graft.ref.FeaturesF32.evalBins]]): 60-second downsampling with
+    * f32 bucket accumulators, then Mean / StandardDeviation /
+    * Amplitude / WeightedMean over the binned series — the f32
+    * instantiation of the reference's `Bins` meta-feature
+    * (bins.rs:171-201), closing the meta-feature half of the
+    * float-trait parity surface (the spectral/fit stack stays
+    * f64-only by design — f32 trig has no bit-mirrorable oracle;
+    * recorded in COVERAGE.md). */
+  private def qBinsF32(s: SparkSession, dir: String): DataFrame = {
+    val names = Seq("bins_mean_f32", "bins_std_f32", "bins_amplitude_f32",
+      "bins_weighted_mean_f32")
+    val evalU = udf((ts: Seq[Double], ms: Seq[Double], ws: Seq[Double]) =>
+      graft.ref.FeaturesF32.evalBins(
+        ts.iterator.map(_.toFloat).toArray, ms.iterator.map(_.toFloat).toArray,
+        ws.iterator.map(_.toFloat).toArray, 60.0f))
+    val base = SeriesFeatures.boundedCollect(pts(s, dir), "user_id", 100000)
+      .withColumn("f", evalU(col("p").getField("t"), col("p").getField("m"),
+        col("p").getField("w")))
+      .withColumn("n_bins", col("f").getItem(0).cast("long"))
+      .filter(col("n_bins") >= 2)
+    names.zipWithIndex.foldLeft(base) { case (d, (n, i)) =>
+      d.withColumn(n, r(col("f").getItem(i + 1)))
+    }.select((col("user_id") +: col("n_bins") +: names.map(col)): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** FLOAT-typed DuckDB mirror of the f32 bins battery: the bucket
+    * index is the floor of the f32 quotient, per-bucket Σmw/Σw/count
+    * accumulate as in-order FLOAT folds over (t, idx)-ordered lists,
+    * and the inner kernels fold over the j-ordered binned series
+    * (j is monotone in t, so bucket order equals first-appearance
+    * order — the JVM loop's emission order). */
+  private val sqlBinsF32: String = {
+    def fl(x: String) = s"CAST($x AS FLOAT)"
+    def fsum(l: String) =
+      s"list_reduce(list_prepend(${fl("0.0")}, $l), (a, x) -> a + x)"
+    s"""WITH p AS ($PTS),
+       | pe AS (SELECT user_id, CAST(t AS FLOAT) AS tf, CAST(m AS FLOAT) AS mf,
+       |         CAST(w AS FLOAT) AS wf, t, idx FROM p),
+       | pb AS (SELECT *, floor(tf / ${fl("60.0")}) AS j FROM pe),
+       | b AS (SELECT user_id, j,
+       |        ${fsum("list(mf * wf ORDER BY t, idx)")} AS smw,
+       |        ${fsum("list(wf ORDER BY t, idx)")} AS sw,
+       |        CAST(count(*) AS FLOAT) AS cnt
+       |       FROM pb GROUP BY 1, 2),
+       | bs AS (SELECT user_id, j, smw / sw AS bm, sw / cnt AS bw FROM b),
+       | g AS (SELECT user_id, count(*) AS nb,
+       |        list(bm ORDER BY j) AS bmf, list(bw ORDER BY j) AS bwf,
+       |        CAST(max(bm) AS FLOAT) AS mx, CAST(min(bm) AS FLOAT) AS mn
+       |       FROM bs GROUP BY 1 HAVING count(*) >= 2),
+       | g1 AS (SELECT *, ${fsum("bmf")} / CAST(nb AS FLOAT) AS mu FROM g),
+       | g2 AS (SELECT *,
+       |         CAST(sqrt(CAST(
+       |           ${fsum("list_transform(bmf, x -> (x - mu) * (x - mu))")}
+       |             / CAST(nb - 1 AS FLOAT) AS DOUBLE)) AS FLOAT) AS sd,
+       |         ${fsum("list_transform(range(1, len(bmf) + 1), k -> bwf[k] * bmf[k])")} AS swm,
+       |         ${fsum("bwf")} AS sw2
+       |        FROM g1)
+       |SELECT user_id, nb AS n_bins,
+       | round(mu + $JitterSql, $R) + 0 AS bins_mean_f32,
+       | round(sd + $JitterSql, $R) + 0 AS bins_std_f32,
+       | round(${fl("0.5")} * (mx - mn) + $JitterSql, $R) + 0 AS bins_amplitude_f32,
+       | round(swm / sw2 + $JitterSql, $R) + 0 AS bins_weighted_mean_f32
+       |FROM g2 ORDER BY user_id""".stripMargin
+  }
+
   /** The f32 flavor of the weighted-kernel battery
     * ([[graft.ref.FeaturesF32.evalWeighted]]): WeightedMean /
     * ReducedChi2 / ExcessVariance / StetsonK / Roms with f32
@@ -1242,6 +1309,7 @@ object EventQueries {
     "q_quantiles_f32" -> qQuantilesF32 _,
     "q_weighted_f32" -> qWeightedF32 _,
     "q_sequential_f32" -> qSequentialF32 _,
+    "q_bins_f32" -> qBinsF32 _,
     "q_otsu_biweight" -> qOtsuBiweight _,
     "q_tier_1m" -> qTier1m _,
     "q_tier_cascade_1h" -> qTierCascade1h _,
@@ -1272,5 +1340,6 @@ object EventQueries {
     "q_simple_stats_f32" -> sqlSimpleStatsF32,
     "q_quantiles_f32" -> sqlQuantilesF32,
     "q_weighted_f32" -> sqlWeightedF32,
-    "q_sequential_f32" -> sqlSequentialF32)
+    "q_sequential_f32" -> sqlSequentialF32,
+    "q_bins_f32" -> sqlBinsF32)
 }

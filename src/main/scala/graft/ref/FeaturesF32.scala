@@ -272,6 +272,49 @@ object FeaturesF32 {
     Array(etaE, lkv, dur, tMu, tStd, mxDt, mnDt)
   }
 
+  /** The f32 Bins meta-feature battery (q_bins_f32): downsample the
+    * sorted series into `window`-second buckets with f32 accumulators
+    * — the reference's `Bins<f32>` instantiation
+    * (/root/reference/src/feature/bins.rs:171-201 under
+    * float_trait.rs:30-120) — then the inner kernels over the binned
+    * magnitudes: Mean, StandardDeviation, Amplitude and the
+    * weighted-mean accumulation of [[evalWeighted]]. Bucket index is
+    * `floor(t / window)` of the f32 quotient; per bucket the count /
+    * Σ(m·w) / Σw accumulate in series order, `m* = Σmw/Σw`,
+    * `w* = Σw/cnt`. Output: Array(nBins, binsMean, binsStd,
+    * binsAmplitude, binsWeightedMean); binsStd is NaN below 2 bins
+    * (callers filter). */
+  def evalBins(t: Array[Float], m: Array[Float], w: Array[Float],
+      window: Float): Array[Float] = {
+    val n = t.length
+    val bm = scala.collection.mutable.ArrayBuffer.empty[Float]
+    val bw = scala.collection.mutable.ArrayBuffer.empty[Float]
+    var i = 0
+    while (i < n) {
+      val j = math.floor((t(i) / window).toDouble)
+      var cnt = 0.0f; var sMw = 0.0f; var sW = 0.0f
+      while (i < n && math.floor((t(i) / window).toDouble) == j) {
+        cnt += 1.0f
+        sMw += m(i) * w(i)
+        sW += w(i)
+        i += 1
+      }
+      bm += sMw / sW
+      bw += sW / cnt
+    }
+    val bmA = bm.toArray
+    val bwA = bw.toArray
+    val nb = bmA.length
+    var sw = 0.0f; var swm = 0.0f
+    var k = 0
+    while (k < nb) { sw += bwA(k); swm += bwA(k) * bmA(k); k += 1 }
+    Array(nb.toFloat,
+      mean(bmA),
+      if (nb >= 2) standardDeviation(bmA) else Float.NaN,
+      amplitude(bmA),
+      swm / sw)
+  }
+
   /** The battery evaluated by q_simple_stats_f32, in output order. */
   def evalAll(t: Array[Float], m: Array[Float]): Array[Float] = {
     val n = m.length
