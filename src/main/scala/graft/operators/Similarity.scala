@@ -342,17 +342,31 @@ object Similarity {
     })
     val base = df.select(col("id"), asDouble(col("vec")).as("v"))
       .withColumn("n2", norm(col("v")))
-    val repByVec = base.groupBy(col("v")).agg(min(col("id")).as("rep"))
+    val repByVec = base.groupBy(col("v"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stars = base.select(col("id"), col("v")).join(repByVec, Seq("v"))
+    // star members exist only for DUPLICATED vectors — join the corpus
+    // against that (usually tiny, often empty) subset, not the whole
+    // rep table: the array-keyed join side shrinks to the duplicate
+    // groups and AQE broadcasts it, so a duplicate-free corpus pays
+    // ~nothing here beyond the collapse aggregate itself
+    val dupVecs = repByVec.filter(col("cnt") > 1).select(col("v"), col("rep"))
+    val stars = base.select(col("id"), col("v")).join(dupVecs, Seq("v"))
       .filter(col("id") =!= col("rep"))
       .select(col("rep"), col("id"))
     val reps = repByVec.select(col("rep").as("id"), col("v"))
     val tagged =
       if (planes > 0) reps.withColumn("_n", lit(0L))
       else reps.crossJoin(broadcast(repByVec.select(count(lit(1)).as("_n"))))
+    // the signature table feeds three unshared branches downstream
+    // (bucket-size census, each side of the bucket self-join) — persist
+    // the narrow (id, table, bucket) projection like the minhash
+    // operator's (id, sig) table, or Spark recomputes the rep UDF
+    // signatures once per branch (no cross-branch CSE); this is also
+    // the 1-2%-of-corpus artifact a production run would store
     val withSig = tagged.select(col("id"),
       posexplode(sigsU(col("v"), col("_n"))).as(Seq("table", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     LshTables(base, stars, withSig)
   }
 
