@@ -163,11 +163,13 @@ object Dedup {
    * feeds three unshared plan branches below, and without
    * materialization Spark recomputes the expensive shingle+minhash
    * projection once per branch — measured 2.2 s vs 1.7 s on the sf0.1
-   * battery corpus (MinhashProbe, interleaved). Reclamation is by
-   * Spark's ContextCleaner once the returned plan is dropped; callers
-   * needing a deterministic lifecycle (or an already-stored signature
-   * table) should build the table themselves and call
-   * [[minHashLshPairsFromSignatures]].
+   * battery corpus (MinhashProbe, interleaved). The cache is pinned by
+   * the session CacheManager until explicitly unpersisted (NOT
+   * ContextCleaner-reclaimed); battery runs clear caches between
+   * queries, and callers needing a deterministic lifecycle (or an
+   * already-stored signature table) should build the table themselves
+   * and call [[minHashLshPairsFromSignatures]], unpersisting after
+   * materialization.
    */
   def minHashLshPairs(df: DataFrame, k: Int = 16, bands: Int = 4,
       seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {

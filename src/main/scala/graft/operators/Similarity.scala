@@ -56,6 +56,14 @@ object Similarity {
     * survives in the physical plan). */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // the heap carries ids as primitive Longs; a non-integral id would
+    // cast to null (ANSI off) and silently rank NOTHING — fail loudly
+    // instead (integral ids widen to long losslessly)
+    val idType = scored.schema("cand_id").dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"top-k ranking needs an integral id column, got $idType")
     val agg = graft.plans.TopKAggExpr(
       GraftSqlBridge.expressionOf(col("cosine").cast("double")),
       GraftSqlBridge.expressionOf(col("cand_id").cast("long")),
@@ -215,10 +223,15 @@ object Similarity {
     * faster, but summation-order-dependent, so no value oracle can
     * mirror it; this form trades the map-side combine for bit
     * reproducibility (`list(v[d] ORDER BY id)` + a pure fold in SQL
-    * reproduces the JVM loop exactly). Cell buffers are bounded by
-    * ~n/nCells on hash-dispersed corpora — the documented collect
-    * bound, same class as the per-series kernels. Empty cells keep
-    * their init centroid (mirrors the generic step's getOrElse). */
+    * reproduces the JVM loop exactly). SCALE CAVEAT, stated honestly:
+    * each cell's buffer holds ~n/nCells full vectors and nCells is a
+    * constant, so unlike the chunk-bounded sessionize/packing buffers
+    * this grows with the corpus — use for oracle-able refinement on
+    * moderate corpora (or a deterministic sample); the 100 TB
+    * refinement path is the generic [[trainIvfCentroids]] step, whose
+    * map-side partial sums are the scalable (unmirrorable) form.
+    * Empty cells keep their init centroid (mirrors the generic step's
+    * getOrElse). */
   def trainIvfCentroidsLloyd1(df: DataFrame, k: Int): Array[Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -242,7 +255,9 @@ object Similarity {
       .collect()
       .map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Double]]("mean").toArray)
       .toMap
-    Array.tabulate(k)(i => refined.getOrElse(i, init(i)))
+    // init.length, not k: a corpus smaller than k yields fewer init
+    // centroids (the generic path iterates centroids.indices too)
+    Array.tabulate(init.length)(i => refined.getOrElse(i, init(i)))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -298,7 +313,13 @@ object Similarity {
    * (deterministically, observable via [[lshBucketOverflow]]).
    */
   def lshTopK(df: DataFrame, planes: Int, k: Int, tables: Int = 4,
-      seed: Long = 7L, maxBucket: Int = 4096): DataFrame = {
+      seed: Long = 7L, maxBucket: Int = 4096): DataFrame =
+    lshTopKResult(df, planes, k, tables, seed, maxBucket)._1
+
+  /** [[lshTopK]] plus the internal-cache cleanup handle — call it
+    * only AFTER the result has been fully materialized. */
+  def lshTopKResult(df: DataFrame, planes: Int, k: Int, tables: Int = 4,
+      seed: Long = 7L, maxBucket: Int = 4096): (DataFrame, () => Unit) = {
     val t = lshTables(df, planes, tables, seed)
     val capped = capBuckets(t.withSig, maxBucket)
     val a = capped.select(col("table"), col("bucket"), col("id").as("query_id"))
@@ -308,14 +329,22 @@ object Similarity {
     val cands = a.join(b, Seq("table", "bucket"))
       .select(col("query_id"), col("cand_id"))
       .unionByName(starCands)
-    fetchScoreRank(cands, t.base, k, df.sparkSession)
+    (fetchScoreRank(cands, t.base, k, df.sparkSession), t.cleanup)
   }
 
-  /** Shared signature + scale machinery of the hyperplane-LSH paths. */
+  /** Shared signature + scale machinery of the hyperplane-LSH paths.
+    * `cleanup` unpersists the two internal caches (rep table +
+    * signature table) — call it after the result DataFrame has been
+    * fully materialized. A persisted Dataset is pinned by the session
+    * CacheManager until explicitly unpersisted (ContextCleaner does
+    * NOT reclaim it), so handle-less callers rely on battery hygiene
+    * (Verify/QueryBench clearCache between queries); long-lived
+    * sessions should use the `*Result` variants. */
   private[operators] final case class LshTables(
       base: DataFrame,    // (id, v, n2) — every input row
       stars: DataFrame,   // (rep, id) — identical-vector members, rep = min id < id
-      withSig: DataFrame) // (table, bucket, id) — REPRESENTATIVES only
+      withSig: DataFrame, // (table, bucket, id) — REPRESENTATIVES only
+      cleanup: () => Unit)
 
   /** The hyperplane twin of the minhash signature-dedup
     * (Dedup.minHashLshPairsFromSignatures step 1): hyperplane buckets
@@ -367,7 +396,10 @@ object Similarity {
     val withSig = tagged.select(col("id"),
       posexplode(sigsU(col("v"), col("_n"))).as(Seq("table", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    LshTables(base, stars, withSig)
+    LshTables(base, stars, withSig, () => {
+      withSig.unpersist(blocking = false)
+      repByVec.unpersist(blocking = false)
+    })
   }
 
   /** Bucket cap over the rep signature table — groupBy count + join
@@ -410,7 +442,14 @@ object Similarity {
    * neighbors through the rep edge).
    */
   def lshCosinePairs(df: DataFrame, planes: Int = -1, tables: Int = 4,
-      seed: Long = 7L, maxBucket: Int = 4096): DataFrame = {
+      seed: Long = 7L, maxBucket: Int = 4096): DataFrame =
+    lshCosinePairsResult(df, planes, tables, seed, maxBucket)._1
+
+  /** [[lshCosinePairs]] plus the internal-cache cleanup handle — call
+    * it only AFTER the pair DataFrame has been fully materialized
+    * (same contract as Dedup's and the n-gram index's handles). */
+  def lshCosinePairsResult(df: DataFrame, planes: Int = -1, tables: Int = 4,
+      seed: Long = 7L, maxBucket: Int = 4096): (DataFrame, () => Unit) = {
     val t = lshTables(df, planes, tables, seed)
     val capped = capBuckets(t.withSig, maxBucket)
     val a = capped.select(col("table"), col("bucket"), col("id").as("id_a"))
@@ -422,10 +461,11 @@ object Similarity {
     val starPairs = t.stars.select(col("rep").as("id_a"), col("id").as("id_b"))
     val q = t.base.select(col("id").as("id_a"), col("v").as("qv"), col("n2").as("qn"))
     val c = t.base.select(col("id").as("id_b"), col("v").as("cv"), col("n2").as("cn"))
-    bucketPairs.unionByName(starPairs)
+    val pairs = bucketPairs.unionByName(starPairs)
       .join(q, Seq("id_a"))
       .join(c, Seq("id_b"))
       .withColumn("cosine", pairCosine(df.sparkSession))
       .select(col("id_a"), col("id_b"), col("cosine"))
+    (pairs, t.cleanup)
   }
 }

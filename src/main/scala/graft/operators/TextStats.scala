@@ -13,8 +13,20 @@ import org.apache.spark.sql.functions._
  */
 object TextStats {
 
-  /** Whitespace tokens of single-space-joined text. */
+  /** Single-space tokens. This is the COUNTING convention: the
+    * ratio/length stats below are exact for single-space-joined text
+    * (avgTokenLen's chars-minus-spaces identity depends on it), and
+    * empty tokens minted by irregular spacing are a legitimate
+    * quality SIGNAL for this surface. Duplicate-verdict surfaces
+    * (minhash shingles, simhash, fingerprint) tokenize on whitespace
+    * RUNS instead — [[tokensWs]] — so a respaced clone gets the same
+    * near-dup verdict from every dedup operator. */
   def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Whitespace-run tokens (`\s+`) — the dedup-surface convention,
+    * matching [[Dedup.wordShingles]]; mirrored by
+    * `regexp_split_to_array(trim(text), '\s+')` in the oracles. */
+  def tokensWs(text: Column): Column = split(trim(text), "\\s+")
 
   def nTokens(text: Column): Column = size(tokens(text))
 
@@ -45,9 +57,11 @@ object TextStats {
 
   /** Canonical-form fingerprint (Broder-style): md5 over the sorted
     * distinct token set — equal iff the documents share their
-    * vocabulary set, robust to word order and repetition. */
+    * vocabulary set, robust to word order, repetition AND spacing
+    * (whitespace-run tokens: a fingerprint is a duplicate verdict, so
+    * it follows the dedup tokenization, not the counting one). */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+    md5(concat_ws(" ", array_sort(array_distinct(tokensWs(text)))))
 
   // ---------------- language ID ----------------
 

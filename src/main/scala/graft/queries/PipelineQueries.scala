@@ -45,13 +45,14 @@ object PipelineQueries {
   private val sqlTextStats = {
     val toks = "string_split(trim(text), ' ')"
     val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
-    s"""WITH g AS (SELECT doc_id, text, $toks AS toks FROM documents),
+    s"""WITH g AS (SELECT doc_id, text, $toks AS toks,
+       |            regexp_split_to_array(trim(text), '\\s+') AS wtoks FROM documents),
        | t AS (SELECT doc_id, text, len(toks) AS nt,
        |        len(list_distinct(toks)) AS nd,
        |        CAST(length(trim(text)) - (len(toks) - 1) AS DOUBLE) / len(toks) AS atl,
        |        CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
        |          / len(toks) AS swr,
-       |        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+       |        md5(array_to_string(list_sort(list_distinct(wtoks)), ' ')) AS fp
        |       FROM g)
        |SELECT doc_id, nt AS n_tokens, nd AS n_distinct_tokens,
        | round(atl + $JitterSql, $R) + 0 AS avg_token_len,
@@ -113,8 +114,9 @@ object PipelineQueries {
 
   /** The capped inverted-index pair pipeline (testable shape).
     *
-    * Materialization points (both reclaimed by ContextCleaner once the
-    * plan is dropped; a production run would STORE the index): the
+    * Materialization points (pinned by the session CacheManager until
+    * unpersisted — the handle below or the battery's per-query
+    * clearCache; a production run would STORE the index): the
     * shingle table is persisted because the hot-shingle census and the
     * kept-posting build would otherwise each re-split and re-shingle
     * every document, and the capped inverted index (one row per
@@ -128,10 +130,9 @@ object PipelineQueries {
   /** [[ngramJaccardPairs]] plus a cleanup handle that unpersists the
     * shingle table and the inverted index deterministically — call it
     * only AFTER the pair DataFrame has been fully materialized.
-    * (The handle-less form leaves reclamation to ContextCleaner once
-    * the plan is dropped — acceptable for the one-shot battery query,
-    * where each cache lives for a single Verify/Bench materialization;
-    * long-lived sessions should use this form.) */
+    * (The handle-less form leaves the caches pinned until the
+    * battery's per-query clearCache — acceptable for the one-shot
+    * battery query; long-lived sessions should use this form.) */
   private[queries] def ngramJaccardPairsResult(
       d: DataFrame, maxDf: Int): (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
@@ -315,7 +316,7 @@ object PipelineQueries {
 
   private def qSimHash(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
-      Dedup.simHashUdf(TextStats.tokens(col("text"))).as("simhash"))
+      Dedup.simHashUdf(TextStats.tokensWs(col("text"))).as("simhash"))
       .withColumn("bands", Dedup.simHashBands(col("simhash")))
       .select(col("doc_id"), col("simhash"),
         col("bands").getItem(0).as("band_0"), col("bands").getItem(1).as("band_1"),
@@ -331,7 +332,7 @@ object PipelineQueries {
       s"(SELECT doc_id, ${fnv64("w")} AS z0 FROM tok)", "z0", "h", Seq("doc_id"))
     def band(i: Int) =
       s"CAST((${u64("simhash")} // CAST(power(2, ${16 * i}) AS HUGEINT)) % 65536 AS BIGINT) AS band_$i"
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
        |             FROM documents),
        | th AS (SELECT * FROM $stages),
        | bits AS (SELECT doc_id, b,

@@ -70,6 +70,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L &&
         r.getDouble(3) == 1.0),
       s"respaced clone did not pair: ${pairs.mkString(";")}")
+    // every duplicate-verdict surface must agree on the respaced clone:
+    // simhash and fingerprint use the same whitespace-run tokens
+    val sigs = df.select(
+        Dedup.simHashUdf(TextStats.tokensWs(col("text"))).as("sh"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      .collect()
+    assert(sigs(0).getLong(0) == sigs(1).getLong(0), "simhash differs on respaced clone")
+    assert(sigs(0).getString(1) == sigs(1).getString(1), "fingerprint differs on respaced clone")
+  }
+
+  test("Lloyd-refined IVF handles a corpus smaller than the requested cell count") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val df = (0L until 10L).map(i => (i, Array.fill(8)(rng.nextGaussian()))).toDF("id", "vec")
+    val cents = Similarity.trainIvfCentroidsLloyd1(df, k = 16)
+    assert(cents.length == 10) // init sample bounded by the corpus
+    assert(Similarity.ivfTopKLloyd(df, k = 2, nCells = 16).count() > 0)
   }
 
   test("minhash-LSH: 1000 identical docs collapse to linear star pairs, no B² bucket") {
