@@ -463,4 +463,71 @@ object Dedup {
     * hamming distance 3 of each other share at least one of 4 bands). */
   def simHashBands(sim: Column): Column =
     array((0 until 4).map(b => shiftrightunsigned(sim, b * 16).bitwiseAND(lit(0xffffL))): _*)
+
+  /**
+   * SimHash near-duplicate pairs: every (id_a, id_b, hamming) with
+   * hamming(simhash_a, simhash_b) <= `maxHamming`, under the
+   * cluster-rep pairing convention shared with [[minHashLshPairs]].
+   * `df` must carry a unique `id` and a 64-bit `simhash` column.
+   *
+   * Recall is EXACT for maxHamming <= 3 (absent bucket overflow): by
+   * pigeonhole, <= 3 differing bits can touch at most 3 of the 4
+   * 16-bit bands, so every qualifying pair collides in at least one
+   * band bucket — unlike minhash banding, which is probabilistic,
+   * this blocking loses nothing. Members of an identical-signature
+   * group are collapsed to the min-id representative first (linear
+   * star pairs at hamming 0; a member's near-match to another doc is
+   * reported against its rep — hamming 0 to the rep means identical
+   * distances), band buckets over `maxBucket` representatives are
+   * dropped with the same deterministic-and-observable contract as
+   * the minhash cap, and only (id, simhash) — 16 bytes — rides the
+   * bucket self-join. Identical token MULTISETS share a simhash by
+   * construction, so respaced/reordered clones land in the star path;
+   * very short documents carry few voting tokens and can collide
+   * spuriously — inherent simhash semantics, callers filter by length
+   * if that matters.
+   */
+  def simHashPairs(df: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 4096): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val sigT = df.select(col("id"), col("simhash"))
+    // rep election: groupBy+join (map-side partial), never a window
+    val repBySig = sigT.groupBy(col("simhash")).agg(min(col("id")).as("rep"))
+    val dupPairs = sigT.join(repBySig, Seq("simhash"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"),
+        lit(0L).as("hamming"))
+    val exploded = repBySig.select(col("rep").as("id"), col("simhash"))
+      .select(col("id"), col("simhash"),
+        posexplode(simHashBands(col("simhash"))).as(Seq("band", "bucket")))
+    val smallBuckets = exploded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val capped = exploded.join(smallBuckets, Seq("band", "bucket"))
+    val a = capped.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = capped.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    val lshPairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      // multi-band collisions of the same pair: narrow partial-agg
+      // dedupe (hamming is signature-determined, first() is exact)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("hamming")).as("hamming"))
+    dupPairs.unionByName(lshPairs)
+  }
+
+  /** Observability for the [[simHashPairs]] cap: every (band, bucket)
+    * whose distinct-signature population exceeds `maxBucket`. */
+  def simHashBucketOverflow(df: DataFrame, maxBucket: Int = 4096): DataFrame =
+    df.select(col("id"), col("simhash"))
+      .groupBy(col("simhash")).agg(min(col("id")).as("id"))
+      .select(posexplode(simHashBands(col("simhash"))).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBucket)
 }

@@ -30,6 +30,19 @@ object TextStats {
 
   def nTokens(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword-regex token count: letter runs and digit runs
+    * are one token each, every other non-space character is its own
+    * token — the shape of a byte-pair pre-tokenizer's word/number/
+    * punctuation split, without a vocab. The alternatives are DISJOINT
+    * character classes, so Java regex (Spark) and RE2 (DuckDB
+    * `regexp_extract_all`) tokenize identically by construction — no
+    * leftmost-first vs leftmost-longest hazard, no lookarounds (RE2
+    * has none). */
+  val BpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def nTokensBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   def nDistinctTokens(text: Column): Column = size(array_distinct(tokens(text)))
 
   /** Mean token length, exact for single-space-joined text:

@@ -34,6 +34,7 @@ object PipelineQueries {
     docs(s, dir).select(
       col("doc_id"),
       TextStats.nTokens(col("text")).as("n_tokens"),
+      TextStats.nTokensBpe(col("text")).as("n_tokens_bpe"),
       TextStats.nDistinctTokens(col("text")).as("n_distinct_tokens"),
       r(TextStats.avgTokenLen(col("text"))).as("avg_token_len"),
       r(TextStats.stopwordRatio(col("text"))).as("stopword_ratio"),
@@ -48,13 +49,15 @@ object PipelineQueries {
     s"""WITH g AS (SELECT doc_id, text, $toks AS toks,
        |            regexp_split_to_array(trim(text), '\\s+') AS wtoks FROM documents),
        | t AS (SELECT doc_id, text, len(toks) AS nt,
+       |        len(regexp_extract_all(text, '${TextStats.BpeTokenPattern}')) AS ntb,
        |        len(list_distinct(toks)) AS nd,
        |        CAST(length(trim(text)) - (len(toks) - 1) AS DOUBLE) / len(toks) AS atl,
        |        CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
        |          / len(toks) AS swr,
        |        md5(array_to_string(list_sort(list_distinct(wtoks)), ' ')) AS fp
        |       FROM g)
-       |SELECT doc_id, nt AS n_tokens, nd AS n_distinct_tokens,
+       |SELECT doc_id, nt AS n_tokens, ntb AS n_tokens_bpe,
+       | nd AS n_distinct_tokens,
        | round(atl + $JitterSql, $R) + 0 AS avg_token_len,
        | round(swr + $JitterSql, $R) + 0 AS stopword_ratio,
        | round(CAST(nd AS DOUBLE)/nt + $JitterSql, $R) + 0 AS type_token_ratio,
@@ -323,17 +326,16 @@ object PipelineQueries {
         col("bands").getItem(2).as("band_2"), col("bands").getItem(3).as("band_3"))
       .orderBy(col("doc_id"))
 
-  /** Full value oracle for the simhash query: FNV-1a-64 + splitmix64
-    * token hashes and the 64-bit sign-sum are mirrored in pure SQL via
-    * [[DuckMacros]] (wrapping arithmetic in HUGEINT limbs). */
-  private val sqlSimHash = {
+  /** Shared CTE prefix of the SimHash oracles: whitespace-run tokens
+    * -> FNV-1a-64 + splitmix64 token hashes -> 64-bit sign-sum,
+    * mirrored in pure SQL via [[DuckMacros]] (wrapping arithmetic in
+    * HUGEINT limbs), ending with `sim(doc_id, simhash)`. */
+  private def sqlSimHashSigCtes: String = {
     import DuckMacros._
     val stages = mix64Stages(
       s"(SELECT doc_id, ${fnv64("w")} AS z0 FROM tok)", "z0", "h", Seq("doc_id"))
-    def band(i: Int) =
-      s"CAST((${u64("simhash")} // CAST(power(2, ${16 * i}) AS HUGEINT)) % 65536 AS BIGINT) AS band_$i"
-    s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-       |             FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |        FROM documents),
        | th AS (SELECT * FROM $stages),
        | bits AS (SELECT doc_id, b,
        |           sum(CASE WHEN ${bit64("h", "b")} = 1 THEN 1 ELSE -1 END) AS cnt
@@ -342,9 +344,52 @@ object PipelineQueries {
        | sim AS (SELECT doc_id,
        |          ${s64("sum(CASE WHEN cnt > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE 0 END)")}
        |            AS simhash
-       |         FROM bits GROUP BY doc_id)
+       |         FROM bits GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Full value oracle for the simhash query. */
+  private val sqlSimHash = {
+    import DuckMacros._
+    def band(i: Int) =
+      s"CAST((${u64("simhash")} // CAST(power(2, ${16 * i}) AS HUGEINT)) % 65536 AS BIGINT) AS band_$i"
+    s"""WITH $sqlSimHashSigCtes
        |SELECT doc_id, simhash, ${band(0)}, ${band(1)}, ${band(2)}, ${band(3)}
        |FROM sim ORDER BY doc_id""".stripMargin
+  }
+
+  private def qSimHashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigT = docs(s, dir).select(col("doc_id").as("id"),
+      Dedup.simHashUdf(TextStats.tokensWs(col("text"))).as("simhash"))
+    Dedup.simHashPairs(sigT, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Full value oracle for the simhash pair query: the signature CTEs
+    * above, then the exact operator shape — min-id rep election, star
+    * pairs at hamming 0, 4x16-bit band blocking over representatives
+    * (exact recall at hamming <= 3 by pigeonhole), capped buckets,
+    * bit_count(xor) hamming verify. */
+  private val sqlSimHashPairs = {
+    import DuckMacros._
+    val bucket =
+      s"CAST((${u64("simhash")} // CAST(power(2, 16 * band) AS HUGEINT)) % 65536 AS BIGINT)"
+    s"""WITH $sqlSimHashSigCtes,
+       | rep AS (SELECT simhash, min(doc_id) AS rep FROM sim GROUP BY simhash),
+       | dup AS (SELECT r.rep AS id_a, s.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+       |         FROM sim s JOIN rep r USING (simhash) WHERE s.doc_id <> r.rep),
+       | ex AS (SELECT r.rep AS id, r.simhash, bd.band, $bucket AS bucket
+       |        FROM rep r, (SELECT unnest(range(0, 4)) AS band) bd),
+       | ok AS (SELECT band, bucket FROM ex GROUP BY band, bucket
+       |        HAVING count(*) <= 4096),
+       | cap AS (SELECT ex.* FROM ex JOIN ok USING (band, bucket)),
+       | lsh AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |         FROM cap a JOIN cap b USING (band, bucket)
+       |         WHERE a.id < b.id
+       |           AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+       |SELECT id_a, id_b, hamming
+       |FROM (SELECT * FROM dup UNION ALL SELECT * FROM lsh)
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Shared CTE prefix of the MinHash oracles: shingles -> FNV+mix64
@@ -1060,6 +1105,7 @@ object PipelineQueries {
     "q_docs_minhash_lsh" -> qMinHashLsh _,
     "q_docs_minhash_overflow" -> qMinHashOverflow _,
     "q_docs_simhash" -> qSimHash _,
+    "q_docs_simhash_pairs" -> qSimHashPairs _,
     "q_docs_dup_clusters" -> qDupClusters _,
     "q_docs_dup_clusters_local" -> qDupClustersLocal _,
     "q_docs_langid" -> qLangId _,
@@ -1082,6 +1128,7 @@ object PipelineQueries {
     "q_docs_ngram_jaccard" -> sqlNgramJaccard,
     "q_docs_ngram_hot_shingles" -> sqlNgramHotShingles,
     "q_docs_simhash" -> sqlSimHash,
+    "q_docs_simhash_pairs" -> sqlSimHashPairs,
     "q_docs_minhash_lsh" -> sqlMinHashLsh,
     "q_docs_minhash_overflow" -> sqlMinHashOverflow,
     "q_docs_dup_clusters" -> sqlDupClusters,

@@ -104,6 +104,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(secs < 30.0, s"duplicate-heavy corpus took ${secs}s - bucket blowup?")
   }
 
+  test("simhash pairs: exact recall at hamming <= 3 against brute force") {
+    import spark.implicits._
+    // distinct signatures engineered around a base: hamming 1..5 from
+    // id 0, plus unrelated values — output must be EXACTLY the <=3
+    // pairs (pigeonhole recall guarantee over the 4x16-bit bands)
+    val base = 0x0123456789abcdefL
+    val sigs = Seq(
+      0L -> base,
+      1L -> (base ^ 1L),                        // hamming 1
+      2L -> (base ^ (1L << 17) ^ (1L << 33)),   // hamming 2, two bands
+      3L -> (base ^ (1L << 5) ^ (1L << 21) ^ (1L << 63)), // hamming 3, three bands
+      4L -> (base ^ 0xf0L),                     // hamming 4 — out
+      5L -> 0x7ea7beefL)                        // far away
+    val df = sigs.toDF("id", "simhash")
+    val got = Dedup.simHashPairs(df, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("simhash pairs: 1000 identical docs collapse to linear star pairs") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, 0x5eedL)).toDF("id", "simhash")
+    val pairs = Dedup.simHashPairs(df).collect()
+    assert(pairs.length == 999, s"expected 999 star pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) == 0L && r.getLong(2) == 0L))
+    // one representative -> the overflow census sees no hot bucket
+    assert(Dedup.simHashBucketOverflow(df).count() == 0L)
+  }
+
   test("minhash-LSH: oversized buckets are capped and reported, not exploded") {
     import spark.implicits._
     // 40 distinct docs sharing most content -> most land in shared band buckets
@@ -421,6 +454,26 @@ class PipelineSpec extends AnyFunSuite {
     val capped = Similarity.lshCosinePairs(df, planes = 3, tables = 4, maxBucket = 8).count()
     val uncapped = Similarity.lshCosinePairs(df, planes = 3, tables = 4).count()
     assert(capped < uncapped, s"cap had no effect: $capped vs $uncapped")
+  }
+
+  test("BPE-ish token count: letter/digit runs one token, symbols one each") {
+    import spark.implicits._
+    val cases = Seq(
+      "Hello, world!" -> 4,          // Hello , world !
+      "it's 2026-08-17" -> 8,        // it ' s 2026 - 08 - 17
+      "  spaced   out  " -> 2,
+      "x2go" -> 3,                   // x 2 go
+      "" -> 0)
+    val got = cases.map(_._1).toDF("text")
+      .select(TextStats.nTokensBpe(col("text"))).collect().map(_.getInt(0))
+    assert(got.toSeq == cases.map(_._2),
+      s"got ${got.toSeq} want ${cases.map(_._2)}")
+    // same counts from a plain Java-regex reference (the oracle's RE2
+    // agrees by the disjoint-class construction)
+    val p = java.util.regex.Pattern.compile(TextStats.BpeTokenPattern)
+    val ref = cases.map { case (t, _) =>
+      val m = p.matcher(t); var n = 0; while (m.find()) n += 1; n }
+    assert(ref == cases.map(_._2))
   }
 
   test("fingerprint is word-order and repetition invariant") {
