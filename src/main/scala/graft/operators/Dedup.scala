@@ -206,11 +206,7 @@ object Dedup {
     //    partial-agg count + join shape — no Window over the bucket key)
     val exploded = reps.select(col("id"), col("sig"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
-    val smallBuckets = exploded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
-    val capped = exploded.join(smallBuckets, Seq("band", "bucket"))
+    val capped = capBandBuckets(exploded, maxBucket)
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"),
       col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"),
@@ -218,10 +214,7 @@ object Dedup {
     val lshPairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-            when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, x) => acc + x) / k).as("est_jaccard"))
+        sigAgreement(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
       // multi-band collisions of the same pair: partial-agg dedupe on
       // the narrow projection (no wide dropDuplicates shuffle)
       .groupBy(col("id_a"), col("id_b"))
@@ -238,6 +231,28 @@ object Dedup {
   /** Band-hash UDF over a signature column (shared by the rep path). */
   def bandArrUdf(bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((sig: Seq[Long]) => bandHashes(sig.toArray, bands))
+
+  /** Signature-agreement Jaccard estimate: the fraction of equal
+    * positions of two equal-length signature arrays. ONE definition,
+    * shared by the batch pair pipeline and the streaming annotator, so
+    * the estimate can never drift between them. */
+  private[graft] def sigAgreement(a: Column, b: Column, k: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, x) => acc + x) / k
+
+  /** Drop rows of an exploded (band, bucket, ...) table whose bucket
+    * population exceeds `maxBucket` — partial-agg count + join, never
+    * a Window over the bucket key. ONE definition shared by every
+    * banded surface (minhash pairs, simhash pairs, the streaming
+    * index) so the cap semantics cannot drift. */
+  private[graft] def capBandBuckets(exploded: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val small = exploded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    exploded.join(small, Seq("band", "bucket"))
+  }
 
   private def bandArr2(bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     bandArrUdf(bands)
@@ -486,6 +501,14 @@ object Dedup {
    * very short documents carry few voting tokens and can collide
    * spuriously — inherent simhash semantics, callers filter by length
    * if that matters.
+   *
+   * `df` is this operator's signature table (the FromSignatures-style
+   * primitive): it is scanned from multiple unshared plan branches
+   * (rep election, star join, banding), so a caller whose input is an
+   * EXPENSIVE projection (a per-document hash UDF over text) must
+   * materialize it first — persist, checkpoint, or a stored signature
+   * table — or pay one corpus pass per branch (the minhash recompute
+   * lesson, BASELINE.md round-4 probe; mirrored in qSimHashPairs).
    */
   def simHashPairs(df: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 4096): DataFrame = {
@@ -501,11 +524,7 @@ object Dedup {
     val exploded = repBySig.select(col("rep").as("id"), col("simhash"))
       .select(col("id"), col("simhash"),
         posexplode(simHashBands(col("simhash"))).as(Seq("band", "bucket")))
-    val smallBuckets = exploded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
-    val capped = exploded.join(smallBuckets, Seq("band", "bucket"))
+    val capped = capBandBuckets(exploded, maxBucket)
     val a = capped.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = capped.select(col("band"), col("bucket"),

@@ -37,8 +37,12 @@ object TextStats {
     * character classes, so Java regex (Spark) and RE2 (DuckDB
     * `regexp_extract_all`) tokenize identically by construction — no
     * leftmost-first vs leftmost-longest hazard, no lookarounds (RE2
-    * has none). */
-  val BpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    * has none). The whitespace set is spelled out EXPLICITLY instead
+    * of `\s` because the engines disagree on vertical tab (Java `\s`
+    * includes \x0B, RE2's does not) — a shorthand class here would
+    * silently diverge the two sides on a VT-bearing document. */
+  val BpeTokenPattern: String =
+    "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   def nTokensBpe(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))

@@ -358,8 +358,15 @@ object PipelineQueries {
   }
 
   private def qSimHashPairs(s: SparkSession, dir: String): DataFrame = {
+    // persist the narrow (id, simhash) projection: simHashPairs scans
+    // its input from multiple unshared plan branches (rep election,
+    // star join, banding), and without materialization the
+    // tokenize+simhash UDF re-runs over the corpus per branch — the
+    // minhash recompute lesson (BASELINE.md round-4 probe). 16 bytes a
+    // row; reclaimed by the battery's per-query clearCache.
     val sigT = docs(s, dir).select(col("doc_id").as("id"),
       Dedup.simHashUdf(TextStats.tokensWs(col("text"))).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.simHashPairs(sigT, maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -52,16 +52,9 @@ object StreamingNearDup {
     val reps = sigT.groupBy(col("sig")).agg(min(col("id")).as("id"))
     val exploded = reps.select(col("id"), col("sig"),
       posexplode(Dedup.bandArrUdf(bands)(col("sig"))).as(Seq("band", "bucket")))
-    val small = exploded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
-    exploded.join(small, Seq("band", "bucket"))
+    // the batch operators' cap helper — ONE definition, no drift
+    Dedup.capBandBuckets(exploded, maxBucket)
   }
-
-  private def estJaccard(a: Column, b: Column, k: Int): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x === y, 1.0).otherwise(0.0)),
-      lit(0.0), (acc, x) => acc + x) / k
 
   /**
    * Annotate a (doc_id, text, ts) stream against `bandIndex` (from
@@ -93,7 +86,7 @@ object StreamingNearDup {
     val scored = base.join(idx, Seq("band", "bucket"), "left")
       .select(col("doc_id"), col("ts"),
         when(col("csig").isNotNull,
-          estJaccard(col("qsig"), col("csig"), k)).as("est"),
+          Dedup.sigAgreement(col("qsig"), col("csig"), k)).as("est"),
         col("corpus_id"))
     // per-document reduce: best estimate, min corpus id on ties; the
     // event-time column rides the grouping so append mode finalizes

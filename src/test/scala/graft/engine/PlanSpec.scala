@@ -180,6 +180,17 @@ class PlanSpec extends AnyFunSuite {
       s"window funnel in exact dedup:\n$dedupPlan")
   }
 
+  test("simhash pair pipeline: no Window, rep election and dedupe are partial aggregates") {
+    import graft.operators.Dedup
+    val sigs = spark.range(100).select(col("id"),
+      (col("id") % 7 * 1234567L).as("simhash"))
+    val plan = physicalPlan(Dedup.simHashPairs(sigs))
+    assert(!plan.contains("Window"),
+      s"window funnel in the simhash pair pipeline:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      "rep election / pair dedupe must be aggregates (map-side partial)")
+  }
+
   test("minhash pair pipeline reads the persisted signature table, not 3 recomputes") {
     import graft.operators.Dedup
     // the narrow (id, sig) stream feeds three unshared branches; the

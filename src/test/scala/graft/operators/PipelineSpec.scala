@@ -463,6 +463,7 @@ class PipelineSpec extends AnyFunSuite {
       "it's 2026-08-17" -> 8,        // it ' s 2026 - 08 - 17
       "  spaced   out  " -> 2,
       "x2go" -> 3,                   // x 2 go
+      "a\u000Bb" -> 2,            // vertical tab IS whitespace on both engines
       "" -> 0)
     val got = cases.map(_._1).toDF("text")
       .select(TextStats.nTokensBpe(col("text"))).collect().map(_.getInt(0))
