@@ -130,6 +130,10 @@ object Multimodal {
           o += 8 + size + (size & 1) // chunks are word-aligned
         }
         unknown
+      } else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+        // GIF87a/89a: logical screen dimensions, LE16 at offsets 6/8
+        SniffedMeta("image/gif", n, le16(b, 6), le16(b, 8), -1, -1)
       } else unknown
     } catch { case _: ArrayIndexOutOfBoundsException => unknown }
   }
@@ -175,6 +179,108 @@ object Multimodal {
     out.put("fmt ".getBytes("US-ASCII")).putInt(16)
     out.putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
     out.putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16.toShort)
+    out.array()
+  }
+
+  // ------------- frame sampling (animated GIF container) -------------
+
+  /** One indexed frame of a multi-frame container: where its image
+    * descriptor starts and the preceding graphic-control delay
+    * (centiseconds; -1 when the frame carried no GCE). */
+  final case class FrameRef(frame_idx: Int, byte_offset: Int, delay_cs: Int)
+
+  /** Frame index of an animated GIF — REAL container parsing (the one
+    * multi-frame media format walkable in pure JVM): GIF87a/89a
+    * signature, logical screen descriptor (skipping the global color
+    * table when its flag is set), then the block stream — extension
+    * blocks (0x21; the 0xF9 graphic-control extension yields the next
+    * frame's delay) with their length-prefixed sub-blocks, image
+    * descriptors (0x2C; each one is a frame — local color table and
+    * LZW data sub-blocks skipped structurally), 0x3B trailer.
+    * Malformed or truncated payloads return the frames indexed so far
+    * (never throw — same contract as [[sniffBytes]]). What is NOT
+    * done here is pixel decode: that is [[decodeBytes]]'s stub. */
+  def gifFrameIndex(b: Array[Byte]): Seq[FrameRef] = {
+    if (b == null || b.length < 14) return Seq.empty
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return Seq.empty
+    val out = Seq.newBuilder[FrameRef]
+    try {
+      var o = 6
+      val flags = b(o + 4) & 0xff
+      o += 7
+      if ((flags & 0x80) != 0) o += 3 * (1 << ((flags & 0x07) + 1))
+      var delay = -1
+      var idx = 0
+      var done = false
+      def skipSubBlocks(): Unit = {
+        var len = b(o) & 0xff
+        while (len != 0) { o += 1 + len; len = b(o) & 0xff }
+        o += 1
+      }
+      while (!done && o < b.length) {
+        (b(o) & 0xff) match {
+          case 0x21 =>
+            val label = b(o + 1) & 0xff
+            o += 2
+            if (label == 0xf9 && (b(o) & 0xff) >= 4) delay = le16(b, o + 2)
+            skipSubBlocks()
+          case 0x2c =>
+            out += FrameRef(idx, o, delay)
+            idx += 1; delay = -1
+            val lflags = b(o + 9) & 0xff
+            o += 10
+            if ((lflags & 0x80) != 0) o += 3 * (1 << ((lflags & 0x07) + 1))
+            o += 1 // LZW minimum code size
+            skipSubBlocks()
+          case _ => done = true // 0x3B trailer, or malformed: stop
+        }
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => () }
+    out.result()
+  }
+
+  /** Frame-sample stage: one output row per every-k-th frame of each
+    * payload, as a `frame` struct column — the distributed video
+    * plumbing (per-row container walk, explode to frame rows; a real
+    * pixel pipeline feeds the sampled (payload, byte_offset) pairs to
+    * its codec). The k-th-frame filter runs INSIDE the indexing UDF,
+    * so non-sampled frames never materialize as rows; payloads with
+    * no frames (non-GIF, malformed) drop out, mirroring explode
+    * semantics — sniff first if every row must survive. */
+  def frameSampleStage(df: DataFrame, payloadCol: String,
+      everyK: Int = 1): DataFrame = {
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    val idxU = udf((p: Array[Byte]) =>
+      gifFrameIndex(p).filter(_.frame_idx % everyK == 0))
+    df.withColumn("frame", explode(idxU(col(payloadCol))))
+  }
+
+  /** Minimal valid animated GIF89a: logical screen descriptor (no
+    * global color table), then per frame a graphic-control extension
+    * (delay 4+i cs), an image descriptor and a one-sub-block LZW body.
+    * Frame i's image descriptor sits at byte 13 + 23*i + 8. */
+  def syntheticGif(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(13 + nFrames * 23 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII"))
+    out.putShort(width.toShort).putShort(height.toShort)
+    out.put(0.toByte).put(0.toByte).put(0.toByte) // no GCT, bg, aspect
+    var i = 0
+    while (i < nFrames) {
+      out.put(0x21.toByte).put(0xf9.toByte).put(4.toByte) // GCE, block size 4
+      out.put(0.toByte).putShort((4 + i).toShort).put(0.toByte) // flags, delay, transp
+      out.put(0.toByte) // GCE terminator
+      out.put(0x2c.toByte)
+      out.putShort(0.toShort).putShort(0.toShort) // x, y
+      out.putShort(width.toShort).putShort(height.toShort)
+      out.put(0.toByte) // no local color table
+      out.put(2.toByte) // LZW minimum code size
+      out.put(2.toByte).put(0x4c.toByte).put(0x01.toByte) // one 2-byte sub-block
+      out.put(0.toByte) // image data terminator
+      i += 1
+    }
+    out.put(0x3b.toByte)
     out.array()
   }
 }

@@ -936,6 +936,33 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame sampling over deterministic synthetic animated GIFs: every
+    * 2nd frame of a (1 + doc_id % 7)-frame container. The parser walks
+    * the real GIF block structure; the oracle recomputes the expected
+    * frame indices/offsets/delays in closed form from the generator's
+    * layout (frame i's image descriptor at 13 + 23*i + 8, delay
+    * 4 + i cs — Multimodal.syntheticGif scaladoc). */
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((id: Long) => Multimodal.syntheticGif(
+      (16 + id % 31).toInt, (16 + id % 17).toInt, (1 + id % 7).toInt))
+    Multimodal.frameSampleStage(
+        docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload")),
+        "payload", everyK = 2)
+      .select(col("doc_id"),
+        col("frame.frame_idx").as("frame_idx"),
+        col("frame.byte_offset").as("byte_offset"),
+        col("frame.delay_cs").as("delay_cs"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val sqlMultimodalFrames =
+    """SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      | CAST(13 + 23 * fi + 8 AS INT) AS byte_offset,
+      | CAST(4 + fi AS INT) AS delay_cs
+      |FROM documents, (SELECT unnest(range(0, 7)) AS fi)
+      |WHERE fi < 1 + doc_id % 7 AND fi % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   private val sqlMultimodalSniff =
     """SELECT doc_id,
       | CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
@@ -1124,7 +1151,8 @@ object PipelineQueries {
     "q_embed_ivf_lloyd" -> qEmbedIvfLloyd _,
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
-    "q_multimodal_sniff" -> qMultimodalSniff _)
+    "q_multimodal_sniff" -> qMultimodalSniff _,
+    "q_multimodal_frames" -> qMultimodalFrames _)
 
   val oracles: Map[String, String] = Map(
     "q_docs_pack" -> sqlPack,
@@ -1149,5 +1177,6 @@ object PipelineQueries {
     "q_embed_ivf_lloyd" -> sqlEmbedIvfLloyd,
     "q_multimodal_meta" -> sqlMultimodalMeta,
     "q_multimodal_decode" -> sqlMultimodalDecode,
-    "q_multimodal_sniff" -> sqlMultimodalSniff)
+    "q_multimodal_sniff" -> sqlMultimodalSniff,
+    "q_multimodal_frames" -> sqlMultimodalFrames)
 }

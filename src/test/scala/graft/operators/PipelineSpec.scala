@@ -511,6 +511,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(jpg.n_bytes == Multimodal.syntheticJpeg(1920, 1080).length.toLong)
   }
 
+  test("GIF frame index: synthetic roundtrip, GCT offsets, malformed safety") {
+    import spark.implicits._
+    // roundtrip on the deterministic builder
+    val gif = Multimodal.syntheticGif(20, 10, 5)
+    val frames = Multimodal.gifFrameIndex(gif)
+    assert(frames.map(_.frame_idx) == Seq(0, 1, 2, 3, 4))
+    assert(frames.map(_.byte_offset) == (0 until 5).map(i => 13 + 23 * i + 8))
+    assert(frames.map(_.delay_cs) == Seq(4, 5, 6, 7, 8))
+    assert(Multimodal.sniffBytes(gif).format == "image/gif")
+    assert(Multimodal.sniffBytes(gif).width == 20)
+    // a global color table shifts every offset by its 3*2^(N+1) bytes
+    val withGct = {
+      val b = gif.clone()
+      b(10) = 0x80.toByte // GCT flag, size bits 0 -> 2 entries, 6 bytes
+      val out = new Array[Byte](b.length + 6)
+      System.arraycopy(b, 0, out, 0, 13)
+      System.arraycopy(b, 13, out, 19, b.length - 13)
+      out
+    }
+    assert(Multimodal.gifFrameIndex(withGct).map(_.byte_offset) ==
+      (0 until 5).map(i => 19 + 23 * i + 8))
+    // malformed and truncated payloads never throw
+    assert(Multimodal.gifFrameIndex(null).isEmpty)
+    assert(Multimodal.gifFrameIndex("not a gif at all".getBytes).isEmpty)
+    assert(Multimodal.gifFrameIndex(gif.take(30)).size <= 1) // truncated mid-frame
+    val rng = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      Multimodal.gifFrameIndex(
+        "GIF89a".getBytes ++ Array.fill(40)(rng.nextInt().toByte))
+    }
+    // the stage explodes every 2nd frame only
+    val rows = Multimodal.frameSampleStage(
+        Seq((1L, gif)).toDF("doc_id", "payload"), "payload", everyK = 2)
+      .select(col("frame.frame_idx")).as[Int].collect()
+    assert(rows.toSeq == Seq(0, 2, 4))
+  }
+
   test("multimodal stub decode: deterministic byte stats") {
     val payload = "hello world".getBytes("UTF-8")
     val f = Multimodal.decodeBytes(payload)
