@@ -79,7 +79,7 @@ object MinhashProbe {
         .select(col("rep").as("id_a"), col("id").as("id_b"), lit(1.0).as("est_jaccard"))
       val reps = tagged.filter(col("id") === col("rep"))
         .select(col("id"), col("sig"))
-        .withColumn("bands", Dedup.bandArrUdf(bands)(col("sig")))
+        .withColumn("bands", Dedup.bandArr(col("sig"), bands))
       val exploded = reps.select(col("id"), col("sig"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
       val capped = exploded.withColumn("bsz",

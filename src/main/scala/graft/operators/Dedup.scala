@@ -30,14 +30,20 @@ object Dedup {
     * elimination) — O(len²) string splitting per document. Zipping
     * shifted `slice`s evaluates the split O(n) times per row total.
     *
-    * Tokenization splits on WHITESPACE RUNS (`\s+`), not single
-    * spaces: real corpora carry double spaces / tabs, and a
-    * single-space split would mint empty tokens and shingles like
-    * `"foo "` that break cross-document matching (a doc differing
-    * only in spacing would never pair with its clone). Mirrored by
-    * `regexp_split_to_array(trim(text), '\s+')` in the oracles. */
+    * Tokenization splits on WHITESPACE RUNS, not single spaces: real
+    * corpora carry double spaces / tabs, and a single-space split
+    * would mint empty tokens and shingles like `"foo "` that break
+    * cross-document matching (a doc differing only in spacing would
+    * never pair with its clone). The run class is spelled out
+    * EXPLICITLY as `[ \t\n\f\r]+` — the oracles' RE2 `\s+` — instead
+    * of Java's `\s` shorthand, which additionally matches vertical
+    * tab (\x0B) and would silently diverge engine from oracle on a
+    * VT-bearing document (the BpeTokenPattern convention, applied to
+    * the dedup surface in r06 per the r05 advisory). */
+  private[graft] val WsRun: String = "[ \\t\\n\\f\\r]+"
+
   def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
+    val toks = split(trim(text), WsRun)
     val nShingles = size(toks) - (n - 1)
     def shifted(k: Int): Column = slice(toks, lit(k + 1), nShingles)
     val joined = (1 until n).foldLeft(shifted(0)) { (acc, k) =>
@@ -113,13 +119,29 @@ object Dedup {
     }
   }
 
+  /** SINGLETON UDF instances — k/seed/bands ride as literal columns.
+    * A `udf(...)` built inside an operator call captures its
+    * parameters in a fresh closure per invocation, and ScalaUDF plan
+    * equality compares the function REFERENCE — so two invocations of
+    * the same query never canonicalize equal, and the session
+    * CacheManager registers the second invocation's persisted subtree
+    * as a NEW cache entry instead of reusing the materialized one
+    * (measured in the r06 probe: queries whose persisted plan contains
+    * a per-call closure UDF ran flat cold-to-steady — the steady pass
+    * re-shingled and re-hashed the corpus — while val-UDF queries
+    * improved >2x on their second pass). Val singletons with literal
+    * parameters keep repeated plans canonically equal, restoring the
+    * persist-reuse the battery's steady pass was designed to measure. */
+  private val minHashSigUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: Seq[String], k: Int, seed: Long) => minHashSignature(s, k, seed))
+  private val bandHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((sig: Seq[Long], bands: Int) => bandHashes(sig.toArray, bands))
+
   /** doc -> (minhash signature, band hashes) columns. */
   def minHashCols(shingles: Column, k: Int = 16, bands: Int = 4,
       seed: Long = 42L): (Column, Column) = {
-    val sigU = udf((s: Seq[String]) => minHashSignature(s, k, seed))
-    val bandU = udf((sig: Seq[Long]) => bandHashes(sig.toArray, bands))
-    val sig = sigU(shingles)
-    (sig, bandU(sig))
+    val sig = minHashSigUdf(shingles, lit(k), lit(seed))
+    (sig, bandHashUdf(sig, lit(bands)))
   }
 
   /**
@@ -173,6 +195,7 @@ object Dedup {
    */
   def minHashLshPairs(df: DataFrame, k: Int = 16, bands: Int = 4,
       seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
+    graft.plans.GraftExtensions.adaptiveArtifactPartitioning(df.sparkSession)
     val (sig, _) = minHashCols(col("shingles"), k, bands, seed)
     val withSig = df.select(col("id"), col("shingles"))
       .filter(size(col("shingles")) > 0)
@@ -201,7 +224,7 @@ object Dedup {
       .select(col("rep").as("id_a"), col("id").as("id_b"),
         lit(1.0).as("est_jaccard")) // identical signatures agree on all k
     val reps = repBySig.select(col("rep").as("id"), col("sig"))
-      .withColumn("bands", bandArr2(bands)(col("sig")))
+      .withColumn("bands", bandArr(col("sig"), bands))
     // 2. band the representatives; 3. cap bucket size (same
     //    partial-agg count + join shape — no Window over the bucket key)
     val exploded = reps.select(col("id"), col("sig"),
@@ -228,9 +251,11 @@ object Dedup {
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
-  /** Band-hash UDF over a signature column (shared by the rep path). */
-  def bandArrUdf(bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((sig: Seq[Long]) => bandHashes(sig.toArray, bands))
+  /** Band-hash column over a signature column (shared by the rep
+    * path, the overflow census and the streaming index): one singleton
+    * ScalaUDF with `bands` as a literal, for the plan-equality reason
+    * documented on [[minHashSigUdf]]. */
+  def bandArr(sig: Column, bands: Int): Column = bandHashUdf(sig, lit(bands))
 
   /** Signature-agreement Jaccard estimate: the fraction of equal
     * positions of two equal-length signature arrays. ONE definition,
@@ -254,9 +279,6 @@ object Dedup {
     exploded.join(small, Seq("band", "bucket"))
   }
 
-  private def bandArr2(bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    bandArrUdf(bands)
-
   /** Observability for cap (3) above: (band, bucket, size) of every
     * bucket whose DISTINCT-signature population exceeds `maxBucket` —
     * what `minHashLshPairs` dropped, never silently. */
@@ -267,7 +289,7 @@ object Dedup {
       .filter(size(col("shingles")) > 0) // mirrors minHashLshPairs
       .withColumn("sig", sig)
       .groupBy(col("sig")).agg(min(col("id")).as("id"))
-      .withColumn("bands", bandArr2(bands)(col("sig")))
+      .withColumn("bands", bandArr(col("sig"), bands))
       .select(posexplode(col("bands")).as(Seq("band", "bucket")))
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("size"))
       .filter(col("size") > maxBucket)
@@ -342,13 +364,18 @@ object Dedup {
 
   def duplicateClustersResult(ids: DataFrame, pairs: DataFrame,
       maxIters: Int = 50, localFinishEdges: Int = 0): ClusterResult = {
-    // canonical directed edges: larger id -> smaller id, deduplicated
+    // canonical directed edges: larger id -> smaller id, deduplicated.
+    // localCheckpoint is LAZY (r06): the signature aggregate right
+    // below materializes the checkpoint and computes the fixpoint
+    // signature in ONE job — the eager form cost a separate
+    // materialization job per round, and at battery scale (tiny edge
+    // sets) the per-job fixed cost was half the operator's runtime.
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // (row count, two independent order-independent 64-bit XOR folds):
     // equal signatures across consecutive rounds == the star fixpoint
     // (both stars leave a union of min-id stars exactly in place).
@@ -365,6 +392,16 @@ object Dedup {
     var it = 0
     var starRounds = 0
     var prev: DataFrame = null
+
+    // Probed and rejected (r06): running the contraction rounds with
+    // AQE off + an edge-count-derived static partition count DID cut
+    // the per-round query-stage job count (43 -> 29 on the battery
+    // corpus) but RAISED wall time ~50%: without AQE the round's two
+    // min-table joins lose their runtime broadcast conversion (a
+    // LogicalRDD leaf has no stats, so static planning falls back to
+    // sort-merge with two extra exchanges per join). AQE's per-stage
+    // jobs are cheaper than the extra sorts; the rounds keep the
+    // session's adaptive config.
 
     /** Close a bounded frontier on the driver: union-find with path
       * compression, then re-emit the member -> component-min stars in
@@ -423,7 +460,7 @@ object Dedup {
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // materialized by signature(next)
       val nextSig = signature(next)
       converged = nextSig == sig
       if (prev != null) unpersistCheckpoint(prev)

@@ -59,7 +59,12 @@ object Packing {
     val local = base.withColumn("_cum", sum(col("_tok")).over(wLocal))
     val wChunks = Window.partitionBy(col("_grp")).orderBy(col("_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("_grp"), col("_chunk"))
+    // chunk totals aggregate over BASE, not `local` (r06): the totals
+    // only need sum(_tok) per chunk, and deriving them from `local`
+    // re-ran the bounded cumsum window (a full shuffle + sort pass
+    // over the corpus) purely to throw its output away — guide §1.2.
+    // Identical result: the per-chunk token sum is the same either way.
+    val offsets = base.groupBy(col("_grp"), col("_chunk"))
       .agg(sum(col("_tok")).as("_chunk_tok"))
       .withColumn("_chunk_off",
         coalesce(sum(col("_chunk_tok")).over(wChunks), lit(0L)))

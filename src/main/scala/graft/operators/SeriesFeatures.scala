@@ -71,10 +71,11 @@ object SeriesFeatures {
    * at or under maxN take the exact collect path bit-identically.
    *
    * Output: (key, n_obs = the ORIGINAL observation count for gating,
-   * p = sorted points struct). Three bounded shuffles on the group key
-   * (span stats, bin aggregation, final collect) replace the one
-   * unbounded collect — the cap is the price of a memory contract the
-   * plain collect (spill-or-die) cannot give.
+   * p = sorted points struct). One bounded shuffle on the group key
+   * (the capacity-bounded stats+collect aggregate) covers every
+   * under-cap series; only hot series pay the extra bin aggregation
+   * pass — the cap is the price of a memory contract the plain
+   * collect (spill-or-die) cannot give.
    *
    * Caveat: the binned route's per-bucket float sums merge in
    * partition order, so binned values match single-node [[graft.ref.Bins]]
@@ -85,21 +86,40 @@ object SeriesFeatures {
   def boundedCollect(pts: DataFrame, key: String, maxN: Int): DataFrame =
     boundedCollect(pts, Seq(key), maxN)
 
-  /** Composite-key variant (e.g. per (series, band)). */
+  /** Composite-key variant (e.g. per (series, band)).
+    *
+    * ONE corpus pass (r06, guide §2.4): the round-5 shape scanned the
+    * input three times (span-stats aggregate, small-branch collect,
+    * large-branch bins) and paid a corpus-wide join against the span
+    * table. The [[graft.plans.BoundedPointsAggExpr]] aggregate now
+    * produces span stats AND the under-cap sorted point sets in one
+    * partial-aggregated pass — per-group memory still bounded by
+    * `maxN` points, and the emitted arrays bit-identical to
+    * `sort_array(collect_list(struct))` (same lexicographic order;
+    * asserted in BoundedCollectSpec). Only over-cap HOT series — rare
+    * by this operator's contract — are re-scanned, through a join
+    * against the tiny hot-key set, down the unchanged scalar-state
+    * Bins path. */
   def boundedCollect(pts: DataFrame, keys: Seq[String], maxN: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
     val ks = keys.map(col)
-    val spans = pts.groupBy(ks: _*).agg(
-      min(col("t")).as("_t0"), max(col("t")).as("_t1"),
-      count(lit(1)).as("n_obs"))
-    val joined = pts.join(spans, keys)
-    val small = joined.filter(col("n_obs") <= maxN)
-      .groupBy(ks :+ col("n_obs"): _*)
-      .agg(collectSorted(col("t"), col("idx"), col("m"), col("w")).as("p"))
-      .select(ks :+ col("n_obs") :+ col("p"): _*)
+    val agg = graft.plans.BoundedPointsAggExpr(
+      GraftSqlBridge.expressionOf(col("t").cast("double")),
+      GraftSqlBridge.expressionOf(col("idx").cast("long")),
+      GraftSqlBridge.expressionOf(col("m").cast("double")),
+      GraftSqlBridge.expressionOf(col("w").cast("double")),
+      maxN)
+    val stats = pts.groupBy(ks: _*).agg(GraftSqlBridge.aggColumn(agg).as("bp"))
+    val small = stats.filter(col("bp.n_obs") <= maxN)
+      .select(ks :+ col("bp.n_obs").as("n_obs") :+ col("bp.p").as("p"): _*)
+    val hot = stats.filter(col("bp.n_obs") > maxN)
+      .select(ks :+ col("bp.n_obs").as("n_obs")
+        :+ col("bp.t0").as("_t0") :+ col("bp.t1").as("_t1"): _*)
+    val joined = pts.join(hot, keys)
     val win = (col("_t1") - col("_t0")) / maxN.toDouble
     // zero-duration hot series degenerate to one bucket (the kernels
     // reject zero-duration series downstream anyway)
-    val large = joined.filter(col("n_obs") > maxN)
+    val large = joined
       .withColumn("_j",
         when(col("_t1") > col("_t0"), floor(col("t") / win))
           .otherwise(lit(0.0)).cast("long"))

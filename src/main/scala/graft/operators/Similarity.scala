@@ -360,15 +360,30 @@ object Similarity {
     * the rep count (buckets hold reps). The rep table is persisted —
     * it feeds three unshared plan branches (stars, signatures, the
     * auto-planes count) that would otherwise each recompute the
-    * corpus-wide vector groupBy; reclamation is by ContextCleaner
-    * once the plan is dropped (battery runs clear caches per query).
+    * corpus-wide vector groupBy. Like every explicitly persisted
+    * Dataset it stays PINNED by the session CacheManager until
+    * unpersisted (ContextCleaner does NOT reclaim it) — use the
+    * `cleanup` handle, or rely on battery hygiene (Verify/QueryBench
+    * clearCache between queries).
     */
-  private def lshTables(df: DataFrame, planes: Int, tables: Int,
-      seed: Long): LshTables = {
-    val sigsU = udf((v: Seq[Double], nRows: Long) => {
+  /** SINGLETON multi-table signature UDF — planes/tables/seed ride as
+    * literal columns. A per-call closure udf makes repeated plans
+    * canonically UNEQUAL (ScalaUDF compares the function reference),
+    * so the CacheManager re-materialized the persisted signature table
+    * on every invocation instead of reusing it (measured flat
+    * cold-to-steady battery passes for every hyperplane-LSH query);
+    * same fix as [[graft.operators.Dedup]]'s minHashSigUdf. */
+  private val hyperSigsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Double], nRows: Long, planes: Int, tables: Int, seed: Long) => {
       val nPlanes = if (planes > 0) planes else autoPlanes(nRows)
       Array.tabulate(tables)(tb => hyperplaneSignature(v, nPlanes, seed + 1000L * tb))
     })
+
+  private def lshTables(df: DataFrame, planes: Int, tables: Int,
+      seed: Long): LshTables = {
+    graft.plans.GraftExtensions.adaptiveArtifactPartitioning(df.sparkSession)
+    def sigsU(v: Column, nRows: Column): Column =
+      hyperSigsUdf(v, nRows, lit(planes), lit(tables), lit(seed))
     val base = df.select(col("id"), asDouble(col("vec")).as("v"))
       .withColumn("n2", norm(col("v")))
     val repByVec = base.groupBy(col("v"))

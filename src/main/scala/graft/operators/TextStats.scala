@@ -23,10 +23,12 @@ object TextStats {
     * near-dup verdict from every dedup operator. */
   def tokens(text: Column): Column = split(trim(text), " ")
 
-  /** Whitespace-run tokens (`\s+`) — the dedup-surface convention,
-    * matching [[Dedup.wordShingles]]; mirrored by
-    * `regexp_split_to_array(trim(text), '\s+')` in the oracles. */
-  def tokensWs(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace-run tokens — the dedup-surface convention, matching
+    * [[Dedup.wordShingles]] (the explicit `[ \t\n\f\r]+` class, i.e.
+    * RE2 `\s` semantics exactly as the oracles'
+    * `regexp_split_to_array(trim(text), '\s+')` — Java's `\s` also
+    * matches \x0B and would diverge; see [[Dedup.WsRun]]). */
+  def tokensWs(text: Column): Column = split(trim(text), Dedup.WsRun)
 
   def nTokens(text: Column): Column = size(tokens(text))
 
@@ -96,21 +98,7 @@ object TextStats {
    */
   def languageId(docs: DataFrame, textCol: String, langCol: String,
       profileSize: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col(langCol).as("lang"),
-      explode(tokens(col(textCol))).as("token"))
-    val counts = tok.groupBy(col("lang"), col("token")).count()
-    val totals = counts.groupBy(col("lang"))
-      .agg(sum(col("count")).as("total"), count(lit(1)).as("vocab"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("count").desc, col("token"))
-    val top = counts.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= profileSize)
-      .join(totals, "lang")
-      .select(col("lang"), col("token"),
-        log((col("count") + 1.0) / (col("total") + col("vocab"))).as("logp"),
-        log(lit(1.0) / (col("total") + col("vocab"))).as("floor"))
-
-    val rows = top.collect()
+    val rows = languageProfile(docs, textCol, langCol, profileSize).collect()
     val floors: Map[String, Double] =
       rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
     val model: Map[String, Map[String, Double]] = rows
@@ -133,5 +121,41 @@ object TextStats {
       bestLang
     })
     docs.withColumn("predicted_lang", scoreU(tokens(col(textCol))))
+  }
+
+  /** The trained profile as a (lang, token, logp, floor) DataFrame —
+    * the model-sized table [[languageId]] collects.
+    *
+    * The top-`profileSize` cut per language is the bounded-heap
+    * aggregate [[graft.plans.TopKTokAggExpr]] over (count desc, token
+    * asc) — NOT `row_number().over(Window.partitionBy(lang))`: the
+    * window form sorted each language's ENTIRE distinct-token count
+    * table through ONE task (a web-scale corpus has 10^8-10^9 distinct
+    * "tokens" per language), while the heap keeps `profileSize` rows
+    * per language per map task and ships only k·languages rows through
+    * the shuffle. Identical selection by construction (same
+    * comparator; UTF8String.compareTo is the byte order the window's
+    * string sort used) — asserted window-free in PlanSpec. */
+  private[graft] def languageProfile(docs: DataFrame, textCol: String,
+      langCol: String, profileSize: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val tok = docs.select(col(langCol).as("lang"),
+      explode(tokens(col(textCol))).as("token"))
+    val counts = tok.groupBy(col("lang"), col("token")).count()
+    val totals = counts.groupBy(col("lang"))
+      .agg(sum(col("count")).as("total"), count(lit(1)).as("vocab"))
+    val agg = graft.plans.TopKTokAggExpr(
+      GraftSqlBridge.expressionOf(col("count").cast("long")),
+      GraftSqlBridge.expressionOf(col("token")),
+      profileSize)
+    counts.groupBy(col("lang"))
+      .agg(GraftSqlBridge.aggColumn(agg).as("topk"))
+      .select(col("lang"), explode(col("topk")).as("e"))
+      .select(col("lang"), col("e.token").as("token"),
+        col("e.cnt").as("count"))
+      .join(totals, "lang")
+      .select(col("lang"), col("token"),
+        log((col("count") + 1.0) / (col("total") + col("vocab"))).as("logp"),
+        log(lit(1.0) / (col("total") + col("vocab"))).as("floor"))
   }
 }

@@ -157,6 +157,25 @@ object GraftExtensions {
       info("mix64", "mix64(z) - splitmix64 finalizer of a 64-bit value"),
       (args: Seq[Expression]) => Mix64Expression(args.head))
 
+  /** Size-adaptive partitioning for the engine's persisted ARTIFACT
+    * tables (signature / inverted-index / rep caches). Spark pins a
+    * cached plan's output partitioning by default
+    * (`spark.sql.optimizer.canChangeCachedPlanOutputPartitioning` =
+    * false), so a persisted table materializes at the session's full
+    * shuffle-partition count no matter how small it is — and every
+    * downstream stage over the cache then runs one task per pinned
+    * partition (measured, r06 probe: 256-task stages over KB-sized
+    * signature caches, ~1.5k tasks per battery query; enabling
+    * in-cache AQE coalescing cut q_embed_ann_lsh from 1545 to 14
+    * steady-pass tasks). Letting AQE coalesce inside cached plans
+    * sizes the artifact like every other exchange — by BYTES, at any
+    * scale; this removes a fixed partition count rather than tuning
+    * one, so it is the opposite of a local-only setting. Runtime
+    * conf; operators that persist call this before planning. */
+  def adaptiveArtifactPartitioning(spark: SparkSession): Unit =
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

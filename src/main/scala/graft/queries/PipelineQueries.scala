@@ -117,43 +117,53 @@ object PipelineQueries {
 
   /** The capped inverted-index pair pipeline (testable shape).
     *
+    * ONE corpus pass, ONE posting shuffle (r06, guide §2.3/§2.4): the
+    * round-5 shape shuffled every posting twice (hot-shingle census,
+    * then the kept-posting collect after a left-anti join) and
+    * persisted a corpus-sized shingle table to feed both passes — the
+    * battery's biggest cache, and the census shuffle was pure
+    * duplicate work. The [[graft.plans.BoundedIdsAggExpr]] aggregate
+    * now counts the true document frequency AND collects the id list
+    * in the same partial-aggregated pass, with per-group memory
+    * bounded by the DF cap (a stop-shingle held by 10^9 docs
+    * accumulates cap ids + one counter per map task, never a
+    * corpus-sized list); `df <= maxDf` drops exactly the shingles the
+    * anti-join dropped, and surviving id lists are complete by the
+    * size <= df invariant. Pair expansion and per-doc kept-sizes are
+    * order-independent in the id list, so the collect order being
+    * partition-dependent changes nothing.
+    *
     * Materialization points (pinned by the session CacheManager until
     * unpersisted — the handle below or the battery's per-query
-    * clearCache; a production run would STORE the index): the
-    * shingle table is persisted because the hot-shingle census and the
-    * kept-posting build would otherwise each re-split and re-shingle
-    * every document, and the capped inverted index (one row per
-    * distinct shingle, id lists bounded by the DF cap) is persisted
-    * because pair expansion AND per-doc kept-sizes both derive from it
-    * — sizes via a cheap explode of the cached id lists, not a second
-    * corpus pass. */
-  private[queries] def ngramJaccardPairs(d: DataFrame, maxDf: Int): DataFrame =
+    * clearCache; a production run would STORE the index): the capped
+    * inverted index (one row per distinct kept shingle, id lists
+    * bounded by the DF cap) feeds pair expansion AND the per-doc
+    * kept-size count; the tiny per-doc `sizes` table is persisted too
+    * because BOTH jaccard denominator joins (id_a, id_b) read it —
+    * unpersisted it was recomputed once per join branch. */
+  private[graft] def ngramJaccardPairs(d: DataFrame, maxDf: Int): DataFrame =
     ngramJaccardPairsResult(d, maxDf)._1
 
   /** [[ngramJaccardPairs]] plus a cleanup handle that unpersists the
-    * shingle table and the inverted index deterministically — call it
+    * inverted index and the size table deterministically — call it
     * only AFTER the pair DataFrame has been fully materialized.
     * (The handle-less form leaves the caches pinned until the
     * battery's per-query clearCache — acceptable for the one-shot
     * battery query; long-lived sessions should use this form.) */
-  private[queries] def ngramJaccardPairsResult(
+  private[graft] def ngramJaccardPairsResult(
       d: DataFrame, maxDf: Int): (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
-    val base = d.select(col("doc_id"), col("lang"), col("source"),
-      Dedup.wordShingles(col("text"), 2).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val postings = base.select(col("lang"), col("source"), col("doc_id"),
-      explode(col("sh")).as("g"))
-    // DF cap: hot shingles leave the shingle space (left_anti against
-    // the small hot set — AQE broadcasts it)
-    val hot = postings.groupBy(col("lang"), col("source"), col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
-      .select(col("lang"), col("source"), col("g"))
-    val kept = postings.join(hot, Seq("lang", "source", "g"), "left_anti")
+    import org.apache.spark.sql.GraftSqlBridge
+    graft.plans.GraftExtensions.adaptiveArtifactPartitioning(d.sparkSession)
+    val postings = d.select(col("lang"), col("source"), col("doc_id"),
+      explode(Dedup.wordShingles(col("text"), 2)).as("g"))
+    val biAgg = graft.plans.BoundedIdsAggExpr(
+      GraftSqlBridge.expressionOf(col("doc_id").cast("long")), maxDf)
     // the capped inverted index — the reused core of the operator
-    val index = kept.groupBy(col("lang"), col("source"), col("g"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+    val index = postings.groupBy(col("lang"), col("source"), col("g"))
+      .agg(GraftSqlBridge.aggColumn(biAgg).as("bi"))
+      .filter(col("bi.df") <= maxDf)
+      .select(col("lang"), col("source"), col("bi.ids").as("ids"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // per-doc kept-posting counts, derived from the index id lists
     // (each (shingle, doc) appears exactly once, so the explode count
@@ -162,6 +172,7 @@ object PipelineQueries {
       .select(col("lang"), col("source"), explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // candidate pairs per shingle WITHOUT a posting self-join: one
     // groupBy ships the postings once (a self-join shuffles them
     // twice), then each shingle's id list — bounded by the DF cap —
@@ -188,8 +199,8 @@ object PipelineQueries {
         r(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.02)
     (pairs, () => {
+      sizes.unpersist(blocking = false)
       index.unpersist(blocking = false)
-      base.unpersist(blocking = false)
     })
   }
 
@@ -364,6 +375,7 @@ object PipelineQueries {
     // tokenize+simhash UDF re-runs over the corpus per branch — the
     // minhash recompute lesson (BASELINE.md round-4 probe). 16 bytes a
     // row; reclaimed by the battery's per-query clearCache.
+    graft.plans.GraftExtensions.adaptiveArtifactPartitioning(s)
     val sigT = docs(s, dir).select(col("doc_id").as("id"),
       Dedup.simHashUdf(TextStats.tokensWs(col("text"))).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

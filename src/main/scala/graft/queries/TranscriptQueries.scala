@@ -34,12 +34,30 @@ object TranscriptQueries {
   private def series(s: SparkSession, dir: String): DataFrame =
     Transcripts.series(Transcripts.fromEvents(s, dir))
 
+  /** Feature batteries for the tier queries, trimmed to what each
+    * query SELECTS (guide §1.2 "don't compute things you throw away"):
+    * [[Rollup.tierFromTurns]]/[[Rollup.tierFromTier]] evaluate their
+    * whole feature list per bucket inside the aggregate finish, but
+    * the carry-only queries (q_tr_tier_*, gapfill, gorilla) project
+    * none of the feature columns and q_tr_features_1h projects five.
+    * Each [[graft.ref.Feature]] evaluates independently over the same
+    * sorted bucket arrays (evalOrFill is per-feature), so the
+    * projected columns are bit-identical to the full-battery run —
+    * asserted in RollupParitySpec. The ENGINE default
+    * ([[Rollup.defaultFeatures]], the bench rollup's battery) is
+    * untouched. */
+  private val NoFeatures: Seq[graft.ref.Feature] = Seq.empty
+  private val Features1h: Seq[graft.ref.Feature] = {
+    import graft.ref.Features._
+    Seq(Mean, Amplitude, StandardDeviation, WeightedMean, Median)
+  }
+
   // ---------------------------------------------------------------
 
   /** Finest tier: every bucket's carries (exactness check on the
     * engine's deterministic in-bucket summation). */
   private def qTier1m(s: SparkSession, dir: String): DataFrame =
-    Rollup.tierFromTurns(series(s, dir), 60L)
+    Rollup.tierFromTurns(series(s, dir), 60L, NoFeatures)
       .select(col("conv_id"), col("bucket"), r(col("bucket_t")).as("bucket_t"),
         col("n"), r(col("sum_w")).as("sum_w"), r(col("sum_mw")).as("sum_mw"),
         r(col("bin_m")).as("bin_m"), r(col("bin_w")).as("bin_w"))
@@ -59,8 +77,8 @@ object TranscriptQueries {
   /** 1h tier built THROUGH the cascade (1m -> 1h); the oracle groups
     * raw turns directly — equality proves the carried sums compose. */
   private def qTier1h(s: SparkSession, dir: String): DataFrame = {
-    val t1m = Rollup.tierFromTurns(series(s, dir), 60L)
-    Rollup.tierFromTier(t1m, 3600L)
+    val t1m = Rollup.tierFromTurns(series(s, dir), 60L, NoFeatures)
+    Rollup.tierFromTier(t1m, 3600L, NoFeatures)
       .select(col("conv_id"), col("bucket"), col("n"),
         r(col("bin_m")).as("bin_m"), r(col("bin_w")).as("bin_w"))
       .orderBy(col("conv_id"), col("bucket"))
@@ -75,9 +93,9 @@ object TranscriptQueries {
 
   /** 1d tier through the full 1m -> 1h -> 1d cascade. */
   private def qTier1d(s: SparkSession, dir: String): DataFrame = {
-    val t1m = Rollup.tierFromTurns(series(s, dir), 60L)
-    val t1h = Rollup.tierFromTier(t1m, 3600L)
-    Rollup.tierFromTier(t1h, 86400L)
+    val t1m = Rollup.tierFromTurns(series(s, dir), 60L, NoFeatures)
+    val t1h = Rollup.tierFromTier(t1m, 3600L, NoFeatures)
+    Rollup.tierFromTier(t1h, 86400L, NoFeatures)
       .select(col("conv_id"), col("bucket"), col("n"),
         r(col("bin_m")).as("bin_m"), r(col("bin_w")).as("bin_w"))
       .orderBy(col("conv_id"), col("bucket"))
@@ -93,7 +111,7 @@ object TranscriptQueries {
   /** Per-bucket feature kernels at the 1h tier (computed by the
     * engine's per-bucket pass over raw turns in the bucket). */
   private def qTierFeatures1h(s: SparkSession, dir: String): DataFrame =
-    Rollup.tierFromTurns(series(s, dir), 3600L)
+    Rollup.tierFromTurns(series(s, dir), 3600L, Features1h)
       .filter(col("n") >= 2)
       .select(col("conv_id"), col("bucket"), col("n"),
         rn(col("mean")).as("mean"),
@@ -127,7 +145,8 @@ object TranscriptQueries {
   /** Gap-filled 1h tier with LOCF — the engine's sequence+explode+
     * last(ignoreNulls) path vs DuckDB generate_series + window. */
   private def qGapfill1h(s: SparkSession, dir: String): DataFrame = {
-    val t1h = Rollup.tierFromTier(Rollup.tierFromTurns(series(s, dir), 60L), 3600L)
+    val t1h = Rollup.tierFromTier(
+      Rollup.tierFromTurns(series(s, dir), 60L, NoFeatures), 3600L, NoFeatures)
     Rollup.gapFillLocf(t1h, 3600L)
       .select(col("conv_id"), col("bucket"), col("is_gap"),
         r(col("bin_m_locf")).as("bin_m_locf"))
@@ -154,7 +173,7 @@ object TranscriptQueries {
     * itself is asserted in-engine (all_points_roundtrip must be true
     * for every row; also covered bit-level in sbt test). */
   private def qGorilla(s: SparkSession, dir: String): DataFrame = {
-    val t1m = Rollup.tierFromTurns(series(s, dir), 60L)
+    val t1m = Rollup.tierFromTurns(series(s, dir), 60L, NoFeatures)
     val pts = col("pts")
     t1m.groupBy(col("conv_id"))
       .agg(sort_array(collect_list(struct(col("bucket"), col("bin_m")))).as("pts"))

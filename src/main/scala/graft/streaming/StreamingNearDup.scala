@@ -51,7 +51,7 @@ object StreamingNearDup {
       .select(col("id"), sig.as("sig"))
     val reps = sigT.groupBy(col("sig")).agg(min(col("id")).as("id"))
     val exploded = reps.select(col("id"), col("sig"),
-      posexplode(Dedup.bandArrUdf(bands)(col("sig"))).as(Seq("band", "bucket")))
+      posexplode(Dedup.bandArr(col("sig"), bands)).as(Seq("band", "bucket")))
     // the batch operators' cap helper — ONE definition, no drift
     Dedup.capBandBuckets(exploded, maxBucket)
   }
@@ -80,7 +80,7 @@ object StreamingNearDup {
         when(size(col("shingles")) > 0, sig).as("qsig"))
       .select(col("doc_id"), col("ts"), col("qsig"),
         posexplode_outer(when(col("qsig").isNotNull,
-          Dedup.bandArrUdf(bands)(col("qsig")))).as(Seq("band", "bucket")))
+          Dedup.bandArr(col("qsig"), bands))).as(Seq("band", "bucket")))
     val idx = bandIndex.select(col("band"), col("bucket"),
       col("id").as("corpus_id"), col("sig").as("csig"))
     val scored = base.join(idx, Seq("band", "bucket"), "left")

@@ -205,6 +205,38 @@ class PlanSpec extends AnyFunSuite {
       s"expected >=3 InMemoryTableScan branches over the signature cache, got $cacheReads:\n$plan")
   }
 
+  test("languageId profile cut is a bounded-heap aggregate — no Window over lang") {
+    // r05 verdict finding #1: row_number().over(Window.partitionBy(lang))
+    // sorted each language's ENTIRE distinct-token table through one
+    // task; the profile cut must be the bounded token heap instead
+    val docs = spark.range(60).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("a"), lit("b"), (col("id") % 7).cast("string")).as("text"),
+      (col("id") % 3).cast("string").as("lang"))
+    val plan = physicalPlan(
+      graft.operators.TextStats.languageProfile(docs, "text", "lang", 4))
+    assert(!plan.contains("Window"),
+      s"window funnel in the languageId profile cut:\n$plan")
+    assert(plan.contains("bounded_top_tokens"),
+      s"plan lacks the token heap aggregate:\n$plan")
+  }
+
+  test("ngram inverted index is ONE posting aggregation — no anti-join census pass") {
+    // r06: the hot-shingle census + left-anti + collect_list shape
+    // shuffled every posting twice; the bounded-ids aggregate does the
+    // census and the collection in one partial-aggregated pass
+    val docs = spark.range(40).select(col("id").as("doc_id"),
+      lit("en").as("lang"), lit("web").as("source"),
+      concat_ws(" ", lit("of"), lit("the"), (col("id") % 11).cast("string"),
+        col("id").cast("string")).as("text"))
+    val df = graft.queries.PipelineQueries.ngramJaccardPairs(docs, 16)
+    val plan = physicalPlan(df)
+    assert(plan.contains("bounded_posting_ids"),
+      s"index build lacks the bounded-ids aggregate:\n$plan")
+    assert(!plan.contains("LeftAnti"),
+      s"census anti-join survived the one-pass index build:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("dup-clusters output stage: cluster_size is an aggregate, no Window over cluster_id") {
     // the cluster-size annotation must be groupBy + re-join — a
     // count().over(Window.partitionBy(cluster_id)) would sort a

@@ -123,4 +123,47 @@ class ExpressionsSpec extends AnyFunSuite {
     val rt = expr.deserialize(expr.serialize(b))
     assert(rt.sortedDesc().toSeq == Seq((2L, 0.9), (4L, 0.9), (1L, 0.7)))
   }
+
+  test("bounded token top-k equals the (count desc, token asc) window ranking") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import spark.implicits._
+    // heavy count ties on purpose: the tie-break must be the token's
+    // BINARY order, exactly what the window's string sort used
+    val rng = new scala.util.Random(11)
+    val rows = for (l <- 0 until 4; t <- 0 until 300)
+      yield (s"lang$l", f"tok${rng.nextInt(200)}%03d", 1L + rng.nextInt(5))
+    val counted = rows.groupBy(r => (r._1, r._2))
+      .map { case ((l, t), rs) => (l, t, rs.map(_._3).sum) }.toSeq
+    val expected = counted.groupBy(_._1).map { case (l, rs) =>
+      l -> rs.sortBy(r => (-r._3, r._2)).take(7).map(r => (r._2, r._3))
+    }
+    for (parts <- Seq(1, 2, 16)) {
+      val df = spark.createDataset(counted).toDF("lang", "token", "count")
+        .repartition(parts)
+      val agg = TopKTokAggExpr(
+        GraftSqlBridge.expressionOf(col("count")),
+        GraftSqlBridge.expressionOf(col("token")), 7)
+      val got = df.groupBy(col("lang"))
+        .agg(GraftSqlBridge.aggColumn(agg).as("topk"))
+        .select(col("lang"), explode(col("topk")).as("e"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (l, rs) =>
+          l -> rs.map(r => (r.getStruct(1).getString(0),
+            r.getStruct(1).getLong(1))).toSeq
+        }
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("token top-k buffer survives serialize/deserialize round-trips") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val b = new TopKTokBuffer(3)
+    Seq((5L, "bb"), (9L, "zz"), (9L, "aa"), (1L, "qq"), (7L, "mm"))
+      .foreach { case (c, t) => b.insert(c, UTF8String.fromString(t)) }
+    val expr = TopKTokAggExpr(null, null, 3)
+    val rt = expr.deserialize(expr.serialize(b))
+    assert(rt.sortedDesc().toSeq.map { case (t, c) => (t.toString, c) } ==
+      Seq(("aa", 9L), ("zz", 9L), ("mm", 7L)))
+  }
 }
