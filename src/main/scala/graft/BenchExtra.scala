@@ -54,10 +54,29 @@ object BenchExtra {
         tasks.incrementAndGet()
       override def onStageSubmitted(
           ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
-        if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG") && ss.stageInfo.numTasks >= 64)
+        val minTasks = sys.env.get("SPARK_GRAFT_STAGE_MIN").map(_.toInt)
+        if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG") &&
+            ss.stageInfo.numTasks >= minTasks.getOrElse(64))
           println(s"[stage ${ss.stageInfo.stageId}] ${ss.stageInfo.numTasks} tasks: " +
-            ss.stageInfo.name + " | " + ss.stageInfo.details.linesIterator
-              .filter(_.contains("graft")).take(3).mkString(" <- "))
+            ss.stageInfo.name + " | rdds: " +
+            ss.stageInfo.rddInfos.map(r => r.name + ":" + r.scope.map(_.name)
+              .getOrElse("-")).mkString(", "))
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        if (sys.env.contains("SPARK_GRAFT_STAGE_TIMES")) {
+          val m = si.taskMetrics
+          println(f"[stage-done ${si.stageId}] tasks=${si.numTasks} " +
+            f"wall=${(si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3}%.3fs " +
+            f"run=${m.executorRunTime / 1e3}%.3fs " +
+            f"cpu=${m.executorCpuTime / 1e9}%.3fs " +
+            f"deser=${m.executorDeserializeTime / 1e3}%.3fs " +
+            f"gc=${m.jvmGCTime / 1e3}%.3fs " +
+            f"fetch=${m.shuffleReadMetrics.fetchWaitTime / 1e3}%.3fs " +
+            f"shRecs=${m.shuffleReadMetrics.recordsRead} " +
+            si.name.takeWhile(_ != '$').take(40))
+        }
       }
     })
     for (name <- names) {

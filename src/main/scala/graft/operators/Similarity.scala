@@ -170,12 +170,19 @@ object Similarity {
     *     surviving candidate set only (two id-keyed joins), scored with
     *     the codegen'd `vec_dot`, and ranked per query. */
   private def fetchScoreRank(cands: DataFrame, vecs: DataFrame, k: Int,
+      s: SparkSession): DataFrame =
+    scoreRankDeduped(cands
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id")).distinct(),
+      vecs, k, s)
+
+  /** [[fetchScoreRank]] minus the self-pair filter + dedupe — for
+    * callers whose candidate set is ALREADY distinct and self-free. */
+  private def scoreRankDeduped(cands: DataFrame, vecs: DataFrame, k: Int,
       s: SparkSession): DataFrame = {
     val q = vecs.select(col("id").as("query_id"), col("v").as("qv"), col("n2").as("qn"))
     val c = vecs.select(col("id").as("cand_id"), col("v").as("cv"), col("n2").as("cn"))
     val scored = cands
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id")).distinct()
       .join(q, Seq("query_id"))
       .join(c, Seq("cand_id"))
       .withColumn("cosine", pairCosine(s))
@@ -326,10 +333,28 @@ object Similarity {
     val b = capped.select(col("table"), col("bucket"), col("id").as("cand_id"))
     val starCands = t.stars.select(col("rep").as("query_id"), col("id").as("cand_id"))
       .unionByName(t.stars.select(col("id").as("query_id"), col("rep").as("cand_id")))
-    val cands = a.join(b, Seq("table", "bucket"))
+    // dedupe the bucket collisions BEFORE unioning the star pairs
+    // (the lshCosinePairs shape), and give the star branch its own
+    // exchange: a union branch that scans the corpus directly (parquet
+    // leaf) lands in the same stage as the bucket join's shuffle
+    // reads, and AQE cannot coalesce a stage whose leaves are not all
+    // query stages — on a cold cache the bucket self-join then runs
+    // SortMergeJoin at the full static partition count (measured: a
+    // 258-task, GC-bound stage carrying 16k rows; the battery's
+    // largest stage). With the star rows behind their own (hash, AQE-
+    // coalesced) exchange every leaf is a query stage and the join
+    // reads coalesce to the data size. Identical candidate set: star
+    // pairs touch a member id on one side, bucket pairs are rep-rep,
+    // so the two branches are disjoint and each is internally
+    // distinct — dedupe-then-union == union-then-dedupe, and the
+    // repartition reorders nothing the rank aggregate depends on.
+    val bucketCands = a.join(b, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"))
-      .unionByName(starCands)
-    (fetchScoreRank(cands, t.base, k, df.sparkSession), t.cleanup)
+      .distinct()
+    val starShuffled = starCands.repartition(col("query_id"))
+    (scoreRankDeduped(bucketCands.unionByName(starShuffled), t.base, k,
+      df.sparkSession), t.cleanup)
   }
 
   /** Shared signature + scale machinery of the hyperplane-LSH paths.
