@@ -42,30 +42,73 @@ object Dedup {
     * the dedup surface in r06 per the r05 advisory). */
   private[graft] val WsRun: String = "[ \\t\\n\\f\\r]+"
 
-  /** Evaluate `body(x)` with `x` bound ONCE: higher-order functions
-    * bind their argument to a lambda variable, so the (expensive)
-    * `x` expression is evaluated a single time per row no matter how
-    * often the body references it. Interpreted expression trees have
-    * NO common-subexpression elimination — before this binding, the
-    * shingle expression's five references to the tokenizing regex
-    * split re-ran the split five times per document (visible verbatim
-    * in the r06 before-plans). `transform(array(x), f)[1] == f(x)`
-    * including null propagation (a null x becomes a null lambda
-    * argument, and the body's size(null)/slice(null) semantics are
-    * unchanged). */
-  private def bindOnce(x: Column, body: Column => Column): Column =
-    element_at(transform(array(x), body), 1)
+  private val WsRunPattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(WsRun)
+
+  /** Spark's `trim(col)` strips SPACE (0x20) only — NOT Java's
+    * `String.trim` (every char <= 0x20). The JVM shingle path must
+    * tokenize bit-identically to the previous Catalyst
+    * `split(trim(text), WsRun)` form and to the DuckDB oracles'
+    * `regexp_split_to_array(trim(text), '\s+')`. */
+  @inline private def trimSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  /** JVM word-shingle kernel — one compiled pass per document.
+    * Exact mirror of the previous Catalyst form
+    * (`array_distinct(zip_with(slice..)..)` over
+    * `split(trim(text), WsRun)`), kept bit-identical:
+    *  - split keeps trailing empty tokens (Java `split(re, -1)`,
+    *    Spark's `StringSplit` default limit);
+    *  - fewer than n tokens (and null text) yield an EMPTY array (the
+    *    old `when(size >= n)...otherwise(array())` semantics);
+    *  - shingles join adjacent tokens with a single space;
+    *  - distinct preserves FIRST-occurrence order (array_distinct).
+    * Why not the Catalyst HOF chain: higher-order functions are
+    * CodegenFallback — interpreted per element with no CSE — and the
+    * shingle pipeline is the hot per-row path of six battery queries
+    * (n-gram index, minhash, dup clusters, decontaminate). A compiled
+    * singleton UDF does the same logical work in one tight loop. */
+  private[graft] def wordShinglesJvm(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty[String]
+    val toks = WsRunPattern.split(trimSpaces(text), -1)
+    if (toks.length < n) return Array.empty[String]
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val last = toks.length - n
+    while (i <= last) {
+      if (n == 1) seen.add(toks(i))
+      else {
+        var len = n - 1
+        var k = 0
+        while (k < n) { len += toks(i + k).length; k += 1 }
+        val sb = new java.lang.StringBuilder(len)
+        k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks(i + k))
+          k += 1
+        }
+        seen.add(sb.toString)
+      }
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** SINGLETON shingle UDF (see the cache-canonicalization contract on
+    * the minhash UDFs below: parameters ride as literal columns so
+    * repeated plans canonicalize equal and persisted subtrees are
+    * reused across passes). */
+  private val wordShinglesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String, n: Int) => wordShinglesJvm(text, n))
 
   def wordShingles(text: Column, n: Int): Column =
-    bindOnce(split(trim(text), WsRun), { toks =>
-      val nShingles = size(toks) - (n - 1)
-      def shifted(k: Int): Column = slice(toks, lit(k + 1), nShingles)
-      val joined = (1 until n).foldLeft(shifted(0)) { (acc, k) =>
-        zip_with(acc, shifted(k), (a, b) => concat(a, lit(" "), b))
-      }
-      when(size(toks) >= n, array_distinct(joined))
-        .otherwise(array().cast("array<string>"))
-    })
+    wordShinglesUdf(text, lit(n))
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. Two
     * EMPTY sets are defined as identical (J = 1): they collapse to the

@@ -102,6 +102,32 @@ object PipelineQueries {
     * q_docs_ngram_hot_shingles. The oracle mirrors the cap exactly. */
   private val NgramMaxDf = 128
 
+  /** SINGLETON pair-expansion kernel for the inverted index: all
+    * C(k, 2) unordered (min, max) id pairs of one shingle's posting
+    * list, k bounded by [[NgramMaxDf]]. A val singleton (not a
+    * per-call closure) so repeated plans canonicalize equal — the
+    * cache-reuse contract of [[graft.operators.Dedup]]'s UDFs. */
+  private val pairCombosUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((ids: Seq[Long]) => {
+      val a = ids.toArray
+      val m = a.length
+      val out = new Array[(Long, Long)](m * (m - 1) / 2)
+      var p = 0
+      var i = 0
+      while (i < m) {
+        val x = a(i)
+        var j = i + 1
+        while (j < m) {
+          val y = a(j)
+          out(p) = if (x <= y) (x, y) else (y, x)
+          p += 1
+          j += 1
+        }
+        i += 1
+      }
+      out
+    })
+
   /** Exact word-2-gram Jaccard via an INVERTED INDEX: explode shingles,
     * self-join postings on (lang, source, shingle), count shared
     * shingles per pair, then jaccard = |A∩B| / (|A|+|B|-|A∩B|) from the
@@ -176,20 +202,20 @@ object PipelineQueries {
     // candidate pairs per shingle WITHOUT a posting self-join: one
     // groupBy ships the postings once (a self-join shuffles them
     // twice), then each shingle's id list — bounded by the DF cap —
-    // explodes its C(df,2) unordered pairs map-side. The per-element
-    // HOF cost is interpreted but cap-bounded (<= 128² per shingle);
-    // the shuffle it removes is corpus-sized.
-    val pairCombos = expr(
-      "flatten(transform(ids, (x, i) -> " +
-        "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-        "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))")
+    // explodes its C(df,2) unordered pairs map-side via the compiled
+    // singleton pair kernel (the interpreted flatten/transform/slice
+    // HOF chain allocated per element per element; same (min, max)
+    // pair multiset — id lists are duplicate-free, and the unordered
+    // pair set over all index combinations is list-order independent);
+    // the shuffle this shape removes is corpus-sized.
+    val pairCombos = pairCombosUdf(col("ids"))
     // pair counting groups by the id PAIR only — a pair lives in exactly
     // one (lang, source) block, which is re-derived from the sizes
     // table instead of riding the widest shuffle (AQE picks broadcast
     // vs shuffle join for the per-doc sizes side by its actual size)
     val pairs = index
       .select(explode(pairCombos).as("pr"))
-      .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
+      .select(col("pr._1").as("id_a"), col("pr._2").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).cast("double").as("inter"))
       .join(sizes.select(col("doc_id").as("id_a"), col("lang"),
