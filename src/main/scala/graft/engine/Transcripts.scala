@@ -110,13 +110,32 @@ object Transcripts {
     * turn_idx = stable per-conv sequence. */
   def fromEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    spark.read.parquet(s"$dir/events.parquet").select(
-      concat(lit("c"), col("user_id")).as("conv_id"),
-      (row_number().over(w) - 1).as("turn_idx"),
-      col("event_type").as("role"),
-      col("props").as("text"),
-      lit(null: String).as("tool"),
-      col("ts").cast("timestamp").as("ts"))
+    // Partition the turn-index window by the derived conv_id COLUMN,
+    // not by user_id (guide §2.4 "share one exchange"): the mapping is
+    // 1:1 so row_number is identical, but every downstream engine
+    // operator keys on conv_id — with the window's exchange already
+    // hash(conv_id), the tier aggregations and the sessionize chunk
+    // aggregate satisfy their ClusteredDistribution without a SECOND
+    // corpus shuffle. conv_id must be projected BEFORE the window so
+    // the window partitions by the attribute itself (partitioning by
+    // the concat expression makes the planner extract a hidden `_w0`
+    // alias, and the partitioning dies with `_w0` at the next
+    // projection — measured; by-attribute keying removes one Exchange
+    // from every q_tr_* plan).
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("event_id"))
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(
+        concat(lit("c"), col("user_id")).as("conv_id"),
+        col("event_id"),
+        col("event_type").as("role"),
+        col("props").as("text"),
+        col("ts").cast("timestamp").as("ts"))
+      .select(
+        col("conv_id"),
+        (row_number().over(w) - 1).as("turn_idx"),
+        col("role"),
+        col("text"),
+        lit(null: String).as("tool"),
+        col("ts"))
   }
 }
